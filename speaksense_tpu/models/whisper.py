@@ -1,0 +1,402 @@
+"""Whisper encoder/decoder in pure-functional JAX.
+
+Design notes (TPU-first, not a port):
+- Parameters are a plain pytree of jnp arrays. Transformer blocks are
+  *stacked*: every per-layer tensor carries a leading layer axis and blocks
+  run under `jax.lax.scan`, keeping compile time flat in depth and making
+  sharding annotations uniform across layers.
+- Compute dtype is bf16 (MXU-native); layer norms, softmax and logits
+  accumulate in f32.
+- Decoding state is an explicit, statically-shaped KV cache with a *per-slot
+  position vector*, so one compiled `decode_step` serves a continuously
+  batched pool of streams at different generation offsets (the reference
+  serializes one whisper.cpp state per stream instead —
+  /root/reference/src/asr/whisper.rs:30-39, src/grpc/handlers/asr.rs:164-169).
+- The encoder supports truncated audio contexts (`n_ctx_out`) like
+  whisper.cpp's `audio_ctx` parameter (/root/reference/src/asr/whisper.rs:144):
+  a 5 s streaming chunk only pays for 250 encoder frames, not 1500.
+
+Weight layouts: linear weights are (in, out) so application is `x @ w`; conv
+stem kernels are (k, in, out) (NWC/WIO).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+
+@dataclass(frozen=True)
+class WhisperDims:
+    """Model hyperparameters (mirrors the ggml header fields the reference's
+    engine reads — see ckpt/ggml.py and SURVEY.md §2 'whisper.cpp engine')."""
+
+    n_mels: int
+    n_vocab: int
+    n_audio_ctx: int
+    n_audio_state: int
+    n_audio_head: int
+    n_audio_layer: int
+    n_text_ctx: int
+    n_text_state: int
+    n_text_head: int
+    n_text_layer: int
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_audio_state // self.n_audio_head
+
+
+def _d(n_mels, n_vocab, audio_state, audio_head, audio_layer, text_layer, text_state=None, text_head=None):
+    return WhisperDims(
+        n_mels=n_mels, n_vocab=n_vocab, n_audio_ctx=1500,
+        n_audio_state=audio_state, n_audio_head=audio_head, n_audio_layer=audio_layer,
+        n_text_ctx=448, n_text_state=text_state or audio_state,
+        n_text_head=text_head or audio_head, n_text_layer=text_layer,
+    )
+
+
+# The whisper model family (same set the reference's download script fetches —
+# /root/reference/script/download-ggml-model.sh:28-54).
+MODEL_DIMS: dict[str, WhisperDims] = {
+    "tiny.en": _d(80, 51864, 384, 6, 4, 4),
+    "tiny": _d(80, 51865, 384, 6, 4, 4),
+    "base.en": _d(80, 51864, 512, 8, 6, 6),
+    "base": _d(80, 51865, 512, 8, 6, 6),
+    "small.en": _d(80, 51864, 768, 12, 12, 12),
+    "small": _d(80, 51865, 768, 12, 12, 12),
+    "medium.en": _d(80, 51864, 1024, 16, 24, 24),
+    "medium": _d(80, 51865, 1024, 16, 24, 24),
+    "large-v1": _d(80, 51865, 1280, 20, 32, 32),
+    "large-v2": _d(80, 51865, 1280, 20, 32, 32),
+    "large-v3": _d(128, 51866, 1280, 20, 32, 32),
+    "large-v3-turbo": _d(128, 51866, 1280, 20, 32, 4),
+    "distil-large-v3": _d(128, 51866, 1280, 20, 32, 2),
+}
+
+
+# ---------------------------------------------------------------------------
+# initialization (used for tests/benchmarks; real weights come from ckpt/)
+# ---------------------------------------------------------------------------
+
+def _linear_init(key, d_in, d_out, bias=True):
+    w = jax.random.normal(key, (d_in, d_out), jnp.float32) * (1.0 / math.sqrt(d_in))
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def _attn_init(key, d, cross_prefix=""):
+    ks = jax.random.split(key, 4)
+    return {
+        cross_prefix + "q": _linear_init(ks[0], d, d),
+        cross_prefix + "k": _linear_init(ks[1], d, d, bias=False),
+        cross_prefix + "v": _linear_init(ks[2], d, d),
+        cross_prefix + "o": _linear_init(ks[3], d, d),
+    }
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _ln_init(d):
+    return {"g": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
+
+
+def init_params(dims: WhisperDims, key: jax.Array | None = None, dtype=jnp.float32) -> Params:
+    """Random-init parameter pytree (layout identical to converted ggml/HF
+    checkpoints so every test path exercises production code)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    d, dt = dims.n_audio_state, dims.n_text_state
+    keys = iter(jax.random.split(key, 16 + 8 * (dims.n_audio_layer + dims.n_text_layer)))
+
+    def enc_block():
+        return {
+            "attn_ln": _ln_init(d),
+            **_attn_init(next(keys), d),
+            "mlp_ln": _ln_init(d),
+            "fc1": _linear_init(next(keys), d, 4 * d),
+            "fc2": _linear_init(next(keys), 4 * d, d),
+        }
+
+    def dec_block():
+        return {
+            "attn_ln": _ln_init(dt),
+            **_attn_init(next(keys), dt),
+            "cross_ln": _ln_init(dt),
+            **{"c" + k: v for k, v in _attn_init(next(keys), dt).items()},
+            "mlp_ln": _ln_init(dt),
+            "fc1": _linear_init(next(keys), dt, 4 * dt),
+            "fc2": _linear_init(next(keys), 4 * dt, dt),
+        }
+
+    params = {
+        "encoder": {
+            "conv1": {
+                "w": jax.random.normal(next(keys), (3, dims.n_mels, d), jnp.float32) * 0.05,
+                "b": jnp.zeros((d,), jnp.float32),
+            },
+            "conv2": {
+                "w": jax.random.normal(next(keys), (3, d, d), jnp.float32) * 0.05,
+                "b": jnp.zeros((d,), jnp.float32),
+            },
+            "pos": sinusoids(dims.n_audio_ctx, d),
+            "blocks": _stack([enc_block() for _ in range(dims.n_audio_layer)]),
+            "ln_post": _ln_init(d),
+        },
+        "decoder": {
+            "tok_emb": jax.random.normal(next(keys), (dims.n_vocab, dt), jnp.float32) * 0.02,
+            "pos": jax.random.normal(next(keys), (dims.n_text_ctx, dt), jnp.float32) * 0.02,
+            "blocks": _stack([dec_block() for _ in range(dims.n_text_layer)]),
+            "ln": _ln_init(dt),
+        },
+    }
+    return jax.tree.map(lambda x: x.astype(dtype), params)
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10_000.0) -> jnp.ndarray:
+    """Sinusoidal position embedding (whisper encoder convention)."""
+    assert channels % 2 == 0
+    log_timescale_increment = math.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = jnp.exp(-log_timescale_increment * jnp.arange(channels // 2, dtype=jnp.float32))
+    scaled_time = jnp.arange(length, dtype=jnp.float32)[:, None] * inv_timescales[None, :]
+    return jnp.concatenate([jnp.sin(scaled_time), jnp.cos(scaled_time)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def _ln(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm with f32 statistics regardless of activation dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _linear(x: jax.Array, p: Params) -> jax.Array:
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _split_heads(x: jax.Array, n_head: int) -> jax.Array:
+    # (..., T, d) -> (..., n_head, T, head_dim)
+    *lead, t, d = x.shape
+    x = x.reshape(*lead, t, n_head, d // n_head)
+    return jnp.moveaxis(x, -2, -3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    # (..., n_head, T, head_dim) -> (..., T, d)
+    x = jnp.moveaxis(x, -3, -2)
+    *lead, t, h, hd = x.shape
+    return x.reshape(*lead, t, h * hd)
+
+
+def _attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array | None) -> jax.Array:
+    """softmax(q k^T / sqrt(dh)) v with f32 softmax. q,k,v: (..., H, T, Dh)."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("...htd,...hsd->...hts", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, -1e30)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("...hts,...hsd->...htd", weights, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def _conv1d(x: jax.Array, p: Params, stride: int) -> jax.Array:
+    """NWC conv with 'same-ish' padding 1 (kernel 3), matching whisper's stem."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(stride,), padding=[(1, 1)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def encode(params: Params, dims: WhisperDims, mel: jax.Array, n_ctx_out: int | None = None) -> jax.Array:
+    """mel (B, T_mel, n_mels) -> encoder states (B, n_ctx_out, d).
+
+    n_ctx_out defaults to T_mel // 2. Passing fewer mel frames than 3000
+    implements whisper.cpp's `audio_ctx` compute-saving mode
+    (/root/reference/src/asr/whisper.rs:144,68).
+    """
+    p = params["encoder"]
+    x = mel
+    x = jax.nn.gelu(_conv1d(x, p["conv1"], 1), approximate=False)
+    x = jax.nn.gelu(_conv1d(x, p["conv2"], 2), approximate=False)
+    t = x.shape[1] if n_ctx_out is None else n_ctx_out
+    x = x[:, :t] + p["pos"][:t].astype(x.dtype)
+
+    n_head = dims.n_audio_head
+
+    def block(x, bp):
+        h = _ln(x, bp["attn_ln"])
+        q = _split_heads(_linear(h, bp["q"]), n_head)
+        k = _split_heads(_linear(h, bp["k"]), n_head)
+        v = _split_heads(_linear(h, bp["v"]), n_head)
+        x = x + _linear(_merge_heads(_attention(q, k, v, None)), bp["o"])
+        h = _ln(x, bp["mlp_ln"])
+        x = x + _linear(jax.nn.gelu(_linear(h, bp["fc1"]), approximate=False), bp["fc2"])
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, p["blocks"])
+    return _ln(x, p["ln_post"])
+
+
+# ---------------------------------------------------------------------------
+# decoder — KV cache for continuous batching
+# ---------------------------------------------------------------------------
+
+def init_cache(dims: WhisperDims, batch: int, n_audio_ctx: int | None = None, dtype=jnp.bfloat16) -> Params:
+    """Statically-shaped decode state for `batch` slots.
+
+    self_k/self_v: (L, B, H, n_text_ctx, Dh) — autoregressive KV.
+    cross_k/cross_v: (L, B, H, n_audio_ctx, Dh) — per-window encoder KV,
+      computed once per window at prefill (whisper.cpp recomputes this inside
+      every `state.full`; we amortize it).
+    pos: (B,) int32 — per-slot write offset: slots decode at different
+      offsets inside one compiled step.
+    """
+    L, H, Dh = dims.n_text_layer, dims.n_text_head, dims.n_text_state // dims.n_text_head
+    A = n_audio_ctx if n_audio_ctx is not None else dims.n_audio_ctx
+    return {
+        "self_k": jnp.zeros((L, batch, H, dims.n_text_ctx, Dh), dtype),
+        "self_v": jnp.zeros((L, batch, H, dims.n_text_ctx, Dh), dtype),
+        "cross_k": jnp.zeros((L, batch, H, A, Dh), dtype),
+        "cross_v": jnp.zeros((L, batch, H, A, Dh), dtype),
+        "pos": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def _write_kv(cache_k: jax.Array, new_k: jax.Array, pos: jax.Array) -> jax.Array:
+    """Scatter new keys at per-slot offsets.
+    cache_k: (B, H, T_max, Dh); new_k: (B, H, T_new, Dh); pos: (B,) int32."""
+
+    def upd(c, n, p):
+        return jax.lax.dynamic_update_slice(c, n, (0, p, 0))
+
+    return jax.vmap(upd)(cache_k, new_k, pos)
+
+
+def _dec_block_factory(dims: WhisperDims):
+    n_head = dims.n_text_head
+
+    def block(carry, xs):
+        x, pos, mask = carry
+        bp, sk, sv, ck, cv = xs
+        # self-attention with cache
+        h = _ln(x, bp["attn_ln"])
+        q = _split_heads(_linear(h, bp["q"]), n_head)
+        k_new = _split_heads(_linear(h, bp["k"]), n_head)
+        v_new = _split_heads(_linear(h, bp["v"]), n_head)
+        sk = _write_kv(sk, k_new.astype(sk.dtype), pos)
+        sv = _write_kv(sv, v_new.astype(sv.dtype), pos)
+        x = x + _linear(_merge_heads(_attention(q, sk.astype(q.dtype), sv.astype(q.dtype), mask)), bp["o"])
+        # cross-attention over precomputed encoder KV
+        h = _ln(x, bp["cross_ln"])
+        cq = _split_heads(_linear(h, bp["cq"]), n_head)
+        x = x + _linear(_merge_heads(_attention(cq, ck.astype(cq.dtype), cv.astype(cq.dtype), None)), bp["co"])
+        # mlp
+        h = _ln(x, bp["mlp_ln"])
+        x = x + _linear(jax.nn.gelu(_linear(h, bp["fc1"]), approximate=False), bp["fc2"])
+        return (x, pos, mask), (sk, sv)
+
+    return block
+
+
+def compute_cross_kv(params: Params, dims: WhisperDims, enc_out: jax.Array, dtype=jnp.bfloat16):
+    """Encoder states -> stacked cross-attention K/V: (L, B, H, A, Dh) each.
+    Computed once per 30 s window; reused across every decode step of that
+    window (and across beam hypotheses)."""
+    n_head = dims.n_text_head
+
+    def per_layer(bp):
+        k = _split_heads(_linear(enc_out, bp["ck"]), n_head)
+        v = _split_heads(_linear(enc_out, bp["cv"]), n_head)
+        return k.astype(dtype), v.astype(dtype)
+
+    ks, vs = jax.lax.map(per_layer, params["decoder"]["blocks"])
+    return ks, vs
+
+
+def _decoder_tail(params: Params, x: jax.Array) -> jax.Array:
+    p = params["decoder"]
+    x = _ln(x, p["ln"])
+    logits = jnp.dot(x, p["tok_emb"].astype(x.dtype).T, preferred_element_type=jnp.float32)
+    return logits  # f32 (..., T, n_vocab)
+
+
+def decode_prefill(params: Params, dims: WhisperDims, tokens: jax.Array, cache: Params,
+                   prompt_len: jax.Array | None = None):
+    """Run a prompt of P tokens through the decoder, writing self-KV at
+    positions [pos, pos+P). tokens: (B, P) int32. Returns (logits (B,P,V),
+    cache'). Padded prompt positions (>= prompt_len) still write KV but are
+    masked from attention by later steps via cache['pos'].
+    """
+    p = params["decoder"]
+    B, P = tokens.shape
+    pos = cache["pos"]
+    dtype = p["tok_emb"].dtype
+    x = p["tok_emb"][tokens] + jax.lax.dynamic_slice_in_dim(p["pos"], 0, P, 0)[None].astype(dtype)
+    # causal mask offset by per-slot pos: query i attends keys <= pos + i
+    q_idx = pos[:, None, None, None] + jnp.arange(P)[None, None, :, None]
+    k_idx = jnp.arange(dims.n_text_ctx)[None, None, None, :]
+    mask = k_idx <= q_idx  # (B, 1, P, T_max)
+
+    block = _dec_block_factory(dims)
+    (x, _, _), (sk, sv) = jax.lax.scan(
+        block, (x, pos, mask),
+        (p["blocks"], cache["self_k"], cache["self_v"], cache["cross_k"], cache["cross_v"]),
+    )
+    new_len = P if prompt_len is None else prompt_len
+    cache = {**cache, "self_k": sk, "self_v": sv, "pos": pos + new_len}
+    return _decoder_tail(params, x), cache
+
+
+def decode_step(params: Params, dims: WhisperDims, token: jax.Array, cache: Params):
+    """One autoregressive step for all slots. token: (B,) int32.
+    Returns (logits (B, V), cache')."""
+    p = params["decoder"]
+    B = token.shape[0]
+    pos = cache["pos"]
+    dtype = p["tok_emb"].dtype
+    x = p["tok_emb"][token][:, None, :] + p["pos"][pos][:, None, :].astype(dtype)  # (B,1,d)
+    k_idx = jnp.arange(dims.n_text_ctx)[None, None, None, :]
+    mask = k_idx <= pos[:, None, None, None]  # (B,1,1,T_max)
+
+    block = _dec_block_factory(dims)
+    (x, _, _), (sk, sv) = jax.lax.scan(
+        block, (x, pos, mask),
+        (p["blocks"], cache["self_k"], cache["self_v"], cache["cross_k"], cache["cross_v"]),
+    )
+    cache = {**cache, "self_k": sk, "self_v": sv, "pos": pos + 1}
+    return _decoder_tail(params, x)[:, 0, :], cache
+
+
+def decode_logits(params: Params, dims: WhisperDims, tokens: jax.Array, enc_out: jax.Array) -> jax.Array:
+    """Teacher-forced full-sequence logits (no cache) — used by parity tests
+    and scoring. tokens (B, T), enc_out (B, A, d) -> logits (B, T, V)."""
+    dtype = params["decoder"]["tok_emb"].dtype
+    cache = init_cache(dims, tokens.shape[0], enc_out.shape[1], dtype=dtype)
+    ck, cv = compute_cross_kv(params, dims, enc_out, dtype=dtype)
+    cache = {**cache, "cross_k": ck, "cross_v": cv}
+    logits, _ = decode_prefill(params, dims, tokens, cache)
+    return logits
