@@ -1,0 +1,154 @@
+"""Decode-loop tests: logit-rule state machine, termination, segmentation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speaksense_tpu.models import whisper as W
+from speaksense_tpu.models import decode as D
+from speaksense_tpu.models.tokenizer import Tokenizer
+
+TOK = Tokenizer.synthetic(51865)
+CFG = D.RuleConfig.from_tokenizer(TOK, max_new_tokens=32)
+SUPPRESS = jnp.asarray(TOK.suppress_mask())
+
+
+def _apply(logits, n_sampled, last, penult, last_ts):
+    out = D.apply_logit_rules(
+        jnp.asarray(logits, jnp.float32), CFG, SUPPRESS,
+        jnp.asarray(n_sampled, jnp.int32), jnp.asarray(last, jnp.int32),
+        jnp.asarray(penult, jnp.int32), jnp.asarray(last_ts, jnp.int32))
+    return np.asarray(out)
+
+
+def test_first_token_must_be_initial_timestamp():
+    logits = np.zeros((1, TOK.n_vocab), np.float32)
+    out = _apply(logits, [0], [0], [0], [0])
+    # all text tokens and EOT masked
+    assert (out[0, : TOK.ts_begin] <= D.NEG_INF).all()
+    # timestamps within max_initial_ts (1.0 s => ts_begin+50) allowed
+    assert out[0, TOK.ts_begin] == 0.0
+    assert out[0, TOK.ts_begin + 50] == 0.0
+    assert out[0, TOK.ts_begin + 51] <= D.NEG_INF
+
+
+def test_initial_timestamp_then_text_expected():
+    logits = np.zeros((1, TOK.n_vocab), np.float32)
+    ts = TOK.ts_begin + 10
+    # one sampled token (the segment-start timestamp): openai treats len<2 as
+    # "penultimate was timestamp" -> timestamps masked, text expected
+    out = _apply(logits, [1], [ts], [0], [ts])
+    assert (out[0, TOK.ts_begin :] <= D.NEG_INF).all()
+    assert out[0, 123] == 0.0
+
+
+def test_end_timestamp_after_text_forbids_text():
+    logits = np.zeros((1, TOK.n_vocab), np.float32)
+    ts = TOK.ts_begin + 10
+    # [.., text, ts]: segment-end timestamp -> must pair-close with another
+    # timestamp (>= same value) or EOT; text masked
+    out = _apply(logits, [3], [ts], [123], [ts])
+    assert (out[0, : TOK.eot] <= D.NEG_INF).all()
+    assert out[0, TOK.eot] == 0.0
+    assert out[0, ts] == 0.0            # same ts allowed (pair close)
+    assert out[0, ts - 1] <= D.NEG_INF  # monotonicity
+
+
+def test_closed_pair_forbids_timestamp():
+    logits = np.zeros((1, TOK.n_vocab), np.float32)
+    ts = TOK.ts_begin + 10
+    # last two sampled are both timestamps -> closed pair -> text expected
+    out = _apply(logits, [4], [ts], [ts], [ts])
+    assert (out[0, TOK.ts_begin :] <= D.NEG_INF).all()
+    assert out[0, 123] == 0.0  # text fine
+
+
+def test_text_then_needs_nothing_special():
+    logits = np.zeros((1, TOK.n_vocab), np.float32)
+    # peaked text distribution so the ts-sum forcing rule doesn't trigger
+    # (on uniform logits, 1500 timestamps' summed mass beats any text token)
+    logits[0, 124] = 10.0
+    ts = TOK.ts_begin + 10
+    # ... ts, text: both text and ts >= last+1 allowed
+    out = _apply(logits, [2], [123], [ts], [ts])
+    assert out[0, 124] == 10.0
+    assert out[0, ts + 1] == 0.0
+    assert out[0, ts] <= D.NEG_INF  # strictly increasing after pair+text
+
+
+def test_timestamp_sum_forcing():
+    logits = np.zeros((1, TOK.n_vocab), np.float32)
+    # make every timestamp slightly attractive: their mass sum exceeds max text
+    logits[0, TOK.ts_begin :] = 2.0
+    out = _apply(logits, [2], [123], [TOK.ts_begin + 1], [TOK.ts_begin + 1])
+    # text masked; EOT remains legal (openai masks [:eot], exclusive)
+    assert (out[0, : TOK.eot] <= D.NEG_INF).all()
+    assert out[0, TOK.eot] == 0.0
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    dims = W.WhisperDims(
+        n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+        n_text_head=4, n_text_layer=2)
+    params = W.init_params(dims, jax.random.PRNGKey(1))
+    return params, dims
+
+
+def test_transcribe_window_runs(tiny_model, rng):
+    params, dims = tiny_model
+    B = 2
+    mel = jnp.asarray(rng.standard_normal((B, 3000, dims.n_mels)), jnp.float32)
+    prompt = jnp.asarray([TOK.sot_sequence("en")] * B, jnp.int32)
+    out = D.transcribe_window(params, dims, CFG, SUPPRESS, mel, prompt,
+                              jnp.float32(0.0), jax.random.PRNGKey(0))
+    tokens = np.asarray(out["tokens"])
+    n = np.asarray(out["n_sampled"])
+    assert tokens.shape == (B, CFG.max_new_tokens)
+    assert (n >= 0).all() and (n <= CFG.max_new_tokens).all()
+    # first sampled token must be a timestamp (rule enforced end-to-end)
+    for b in range(B):
+        if n[b] > 0:
+            assert tokens[b, 0] >= TOK.ts_begin
+    assert np.isfinite(np.asarray(out["avg_logprob"])).all()
+    ns = np.asarray(out["no_speech_prob"])
+    assert ((ns >= 0) & (ns <= 1)).all()
+
+
+def test_detect_language_runs(tiny_model, rng):
+    params, dims = tiny_model
+    mel = jnp.asarray(rng.standard_normal((1, 3000, dims.n_mels)), jnp.float32)
+    enc = W.encode(params, dims, mel)
+    lang_ids, probs = D.detect_language(params, dims, enc, TOK)
+    lid = int(np.asarray(lang_ids)[0])
+    assert TOK.lang_base <= lid < TOK.lang_base + TOK.num_languages
+    p = np.asarray(probs)[0]
+    np.testing.assert_allclose(p.sum(), 1.0, atol=1e-5)
+    assert p[: TOK.lang_base].max() == 0.0
+
+
+def test_segments_from_tokens():
+    t = TOK.timestamp_token
+    vocab_hi = 100  # arbitrary text ids
+    ids = [t(0.0), 10, 11, t(2.0), t(2.0), 12, t(4.5), t(4.5), 13]
+    arr = np.asarray(ids + [TOK.eot] * 3)
+    segs, advance = D.segments_from_tokens(arr, len(ids), TOK, window_offset=30.0)
+    assert len(segs) == 3
+    assert segs[0]["start"] == 30.0 and segs[0]["end"] == 32.0
+    assert segs[0]["tokens"] == [10, 11]
+    assert segs[1]["start"] == 32.0 and segs[1]["end"] == 34.5
+    # trailing open segment consumes the window
+    assert segs[2]["start"] == 34.5
+    assert advance is not None
+
+
+def test_segments_trailing_pair_sets_seek():
+    t = TOK.timestamp_token
+    ids = [t(0.0), 7, t(3.0), t(3.0), 8, t(6.0)]
+    arr = np.asarray(ids)
+    segs, advance = D.segments_from_tokens(arr, len(ids), TOK)
+    assert segs[-1]["end"] == 6.0
+    assert advance == 6.0

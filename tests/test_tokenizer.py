@@ -1,0 +1,81 @@
+"""Special-token layout and text codec tests."""
+
+import numpy as np
+
+from speaksense_tpu.models.tokenizer import Tokenizer, LANGUAGES
+
+
+def test_multilingual_v2_layout():
+    tok = Tokenizer.synthetic(51865)
+    assert tok.eot == 50257
+    assert tok.sot == 50258
+    assert tok.lang_token("en") == 50259
+    assert tok.lang_token("zh") == 50260
+    assert tok.translate == 50358
+    assert tok.transcribe == 50359
+    assert tok.no_speech == 50362
+    assert tok.no_timestamps == 50363
+    assert tok.ts_begin == 50364
+    assert tok.num_languages == 99
+
+
+def test_multilingual_v3_layout():
+    tok = Tokenizer.synthetic(51866)
+    assert tok.eot == 50257
+    assert tok.sot == 50258
+    assert tok.num_languages == 100
+    assert tok.lang_token("yue") == 50259 + 99
+    assert tok.ts_begin == 50365
+    assert tok.timestamp_token(30.0) == 50365 + 1500
+
+
+def test_english_layout():
+    tok = Tokenizer.synthetic(51864)
+    assert tok.eot == 50256
+    assert tok.sot == 50257
+    assert tok.ts_begin == 50363
+    assert not tok.multilingual
+
+
+def test_sot_sequence():
+    tok = Tokenizer.synthetic(51865)
+    assert tok.sot_sequence("zh") == [50258, 50260, 50359]
+    assert tok.sot_sequence("en", task="translate") == [50258, 50259, 50358]
+    assert tok.sot_sequence("en", timestamps=False)[-1] == tok.no_timestamps
+    en_only = Tokenizer.synthetic(51864)
+    assert en_only.sot_sequence("en") == [en_only.sot]
+
+
+def test_timestamp_conversion():
+    tok = Tokenizer.synthetic(51865)
+    assert tok.timestamp_seconds(tok.timestamp_token(5.44)) == 5.44
+    assert tok.is_timestamp(tok.ts_begin)
+    assert not tok.is_timestamp(tok.ts_begin - 1)
+
+
+def test_decode_and_encode_text():
+    vocab = [b"he", b"llo", b" wo", b"rld", b"hello"]
+    tok = Tokenizer(vocab=vocab, n_vocab=51865, multilingual=True, num_languages=99)
+    assert tok.decode([0, 1, 2, 3]) == "hello world"
+    # greedy longest-match prefers "hello" over "he"+"llo"
+    assert tok.encode_text("hello world") == [4, 2, 3]
+    # specials skipped in decode by default
+    assert tok.decode([0, tok.eot, 1]) == "hello"
+    assert "<|endoftext|>" in tok.decode([0, tok.eot], skip_special=False)
+
+
+def test_language_list_sane():
+    assert len(LANGUAGES) == 100
+    assert LANGUAGES[0] == "en"
+    assert LANGUAGES[1] == "zh"
+    assert LANGUAGES[-1] == "yue"
+
+
+def test_suppress_mask():
+    tok = Tokenizer.synthetic(51865)
+    m = tok.suppress_mask()
+    assert m[tok.sot] and m[tok.sot_prev] and m[tok.no_speech]
+    assert m[tok.lang_token("en")] and m[tok.lang_token("su")]
+    assert not m[tok.eot]
+    assert not m[tok.ts_begin]
+    assert not m[100]  # ordinary text token
