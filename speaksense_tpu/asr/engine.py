@@ -1,0 +1,328 @@
+"""WhisperEngine: the JAX inference engine behind the AsrEngine interface.
+
+This replaces the whisper.cpp black box the reference wraps
+(/root/reference/src/asr/whisper.rs): model loading (ggml -> device pytree),
+log-mel, encoder/decoder, sampling with whisper's quality-threshold
+temperature fallback (FullParams entropy_thold 2.4 / logprob_thold -1.0 /
+no_speech_thold 0.6 — whisper.rs:164-167), long-form seek stitching, and the
+reference's post-filters (promo text, CJK punctuation).
+
+TPU-first specifics:
+- every (batch, mel-frames, prompt-len) shape bucket compiles once and is
+  cached; all windows of all concurrent requests can share one program;
+- temperature fallback retries are *per-slot* via a (B,) temperature vector
+  instead of whole-window serial retries;
+- short streaming chunks use a truncated encoder context bucket
+  (whisper.cpp's audio_ctx trick, whisper.rs:144) so a 5 s chunk costs
+  ~1/6 of a full 30 s encode.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import threading
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speaksense_tpu.asr import AsrEngine, AsrParams, TranscribeResult, TranscribeSegment
+from speaksense_tpu.asr import postprocess as PP
+from speaksense_tpu.audio import mel as MEL
+from speaksense_tpu.config import EngineConfig
+from speaksense_tpu.models import whisper as W
+from speaksense_tpu.models import decode as D
+from speaksense_tpu.models.tokenizer import Tokenizer
+
+log = logging.getLogger(__name__)
+
+SAMPLE_RATE = MEL.SAMPLE_RATE
+# whisper temperature fallback schedule (openai + whisper.cpp)
+FALLBACK_TEMPS = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+COMPRESSION_RATIO_THOLD = 2.4
+
+
+@dataclass
+class EngineState:
+    """Per-stream host-side decode context (the reference's WhisperState is a
+    per-stream C++ KV allocation, whisper.rs:30-39; our device KV is pooled,
+    so the state carries only conditioning/bookkeeping)."""
+
+    language: str | None = None
+    prev_text: str = ""
+    lock: threading.Lock = field(default_factory=threading.Lock)
+
+
+class WhisperEngine(AsrEngine):
+    def __init__(self, params, dims: W.WhisperDims, tokenizer: Tokenizer,
+                 mel_filters: np.ndarray | None = None,
+                 config: EngineConfig | None = None, name: str = "whisper"):
+        self.config = config or EngineConfig()
+        self.dims = dims
+        self.tokenizer = tokenizer
+        self.name = name
+        dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
+        self.dtype = dtype
+
+        def to_dev(x):
+            x = jnp.asarray(x)
+            # keep norm/bias/pos f32; big matmul weights in compute dtype
+            return x.astype(dtype) if x.ndim >= 2 else x.astype(jnp.float32)
+
+        self.params = jax.tree.map(to_dev, params)
+        self.mel_filters = (np.asarray(mel_filters, np.float32)
+                            if mel_filters is not None else MEL.mel_filter_bank(dims.n_mels))
+        # suppression mask variants (device-resident)
+        self._suppress = {
+            True: jnp.asarray(tokenizer.suppress_mask(suppress_non_speech=True)),
+            False: jnp.asarray(tokenizer.suppress_mask(suppress_non_speech=False)),
+        }
+        self._jit_cache: dict = {}
+        self._rng = np.random.default_rng(0)
+
+    # ------------------------------------------------------------------ load
+
+    @classmethod
+    def from_ggml(cls, path: str, config: EngineConfig | None = None) -> "WhisperEngine":
+        from speaksense_tpu.ckpt.ggml import load_ggml, params_from_ggml
+
+        t0 = time.time()
+        model = load_ggml(path)
+        params = params_from_ggml(model)
+        tok = Tokenizer.from_vocab(model.vocab)
+        filters = model.filters if model.filters.size else None
+        log.info("loaded ggml model %s in %.1fs (dims=%s)", path, time.time() - t0, model.dims)
+        return cls(params, model.dims, tok, mel_filters=filters, config=config, name=path)
+
+    @classmethod
+    def from_random(cls, model: str = "tiny", config: EngineConfig | None = None,
+                    seed: int = 0) -> "WhisperEngine":
+        """Random-weight engine for tests/benchmarks (no checkpoint needed)."""
+        dims = W.MODEL_DIMS[model]
+        params = W.init_params(dims, jax.random.PRNGKey(seed))
+        tok = Tokenizer.synthetic(dims.n_vocab)
+        return cls(params, dims, tok, config=config, name=f"random-{model}")
+
+    @classmethod
+    def from_pretrained(cls, path: str, config: EngineConfig | None = None) -> "WhisperEngine":
+        """Dispatch on checkpoint type: .bin ggml files or HF directories."""
+        import os
+
+        if os.path.isdir(path):
+            raise NotImplementedError("HF directory loading lands with ckpt/hf_dir support")
+        return cls.from_ggml(path, config=config)
+
+    # ------------------------------------------------------------- jit plumbing
+
+    def _mel_bucket(self, t_mel: int) -> int:
+        for b in (512, 1024, 3000):
+            if t_mel <= b:
+                return b
+        return 3000
+
+    def _window_fn(self, batch: int, prompt_len: int, t_mel: int, with_ts: bool,
+                   max_new: int):
+        key = ("win", batch, prompt_len, t_mel, with_ts, max_new)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            cfg = D.RuleConfig.from_tokenizer(
+                self.tokenizer, with_timestamps=with_ts,
+                max_initial_ts=self.config.max_initial_ts, max_new_tokens=max_new)
+            n_audio_ctx = min(t_mel // 2, self.dims.n_audio_ctx)
+
+            def run(params, suppress, mel_f32, prompt, temps, key):
+                return D.transcribe_window(params, self.dims, cfg, suppress, mel_f32,
+                                           prompt, temps, key, n_audio_ctx=n_audio_ctx)
+
+            fn = jax.jit(run)
+            self._jit_cache[key] = fn
+        return fn
+
+    def _detect_fn(self, batch: int, t_mel: int):
+        key = ("lang", batch, t_mel)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            n_audio_ctx = min(t_mel // 2, self.dims.n_audio_ctx)
+
+            def run(params, mel):
+                enc = W.encode(params, self.dims, mel, n_ctx_out=n_audio_ctx)
+                return D.detect_language(params, self.dims, enc, self.tokenizer)
+
+            fn = jax.jit(run)
+            self._jit_cache[key] = fn
+        return fn
+
+    def compute_mel(self, audio: np.ndarray, pad_to: int | None = None) -> jax.Array:
+        """audio (n,) or (B, n) f32 @16k -> (B, T_mel, n_mels). pad_to selects
+        a frame bucket (512 for streaming chunks, 3000 for full windows)."""
+        a = np.atleast_2d(np.asarray(audio, np.float32))
+        if pad_to is None:
+            m = MEL.log_mel_spectrogram(a, n_mels=self.dims.n_mels, filters=self.mel_filters)
+        else:
+            target = pad_to * MEL.HOP_LENGTH
+            if a.shape[-1] < target:
+                a = np.pad(a, ((0, 0), (0, target - a.shape[-1])))
+            a = a[:, :target]
+            m = MEL.log_mel_spectrogram(a, n_mels=self.dims.n_mels,
+                                        filters=self.mel_filters, pad_to_chunk=False)
+        return m
+
+    # --------------------------------------------------------------- decoding
+
+    def decode_windows(self, mels, language: str | None, task: str = "transcribe",
+                       with_timestamps: bool = True, suppress_non_speech: bool = False,
+                       max_new_tokens: int | None = None, temperatures=None) -> list[dict]:
+        """Decode a batch of mel windows with per-slot temperature fallback.
+        mels: (B, T_mel, n_mels). Returns per-slot dicts with tokens/text/
+        avg_logprob/no_speech_prob/compression_ratio/temperature."""
+        mels = jnp.asarray(mels)
+        B, T_mel = mels.shape[0], mels.shape[1]
+        lang = language or "en"
+        prompt_ids = self.tokenizer.sot_sequence(lang, task=task, timestamps=with_timestamps)
+        prompt = jnp.asarray(np.tile(np.asarray(prompt_ids, np.int32), (B, 1)))
+        max_new = max_new_tokens or self.config.max_decode_len // 2
+        fn = self._window_fn(B, len(prompt_ids), T_mel, with_timestamps, max_new)
+        suppress = self._suppress[suppress_non_speech]
+
+        temps = np.zeros((B,), np.float32) if temperatures is None else np.asarray(temperatures, np.float32)
+        schedule = [t for t in FALLBACK_TEMPS]
+        results: list[dict | None] = [None] * B
+        pending = np.ones((B,), bool)
+
+        for attempt in range(len(schedule)):
+            key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
+            out = fn(self.params, suppress, mels, prompt, jnp.asarray(temps), key)
+            tokens = np.asarray(out["tokens"])
+            n_sampled = np.asarray(out["n_sampled"])
+            avg_lp = np.asarray(out["avg_logprob"])
+            ns_prob = np.asarray(out["no_speech_prob"])
+            retry = np.zeros((B,), bool)
+            for b in range(B):
+                if not pending[b]:
+                    continue
+                text = self.tokenizer.decode(tokens[b, : n_sampled[b]])
+                cr = PP.compression_ratio(text)
+                needs_retry = (cr > COMPRESSION_RATIO_THOLD) or (avg_lp[b] < self.config.logprob_thold)
+                if needs_retry and temps[b] < schedule[-1]:
+                    temps[b] = schedule[min(attempt + 1, len(schedule) - 1)]
+                    retry[b] = True
+                    continue
+                results[b] = dict(
+                    tokens=tokens[b], n_sampled=int(n_sampled[b]), text=text,
+                    avg_logprob=float(avg_lp[b]), no_speech_prob=float(ns_prob[b]),
+                    compression_ratio=cr, temperature=float(temps[b]),
+                )
+                pending[b] = False
+            if not retry.any():
+                break
+        # anything still pending keeps its last attempt
+        for b in range(B):
+            if results[b] is None:
+                text = self.tokenizer.decode(tokens[b, : n_sampled[b]])
+                results[b] = dict(tokens=tokens[b], n_sampled=int(n_sampled[b]), text=text,
+                                  avg_logprob=float(avg_lp[b]), no_speech_prob=float(ns_prob[b]),
+                                  compression_ratio=PP.compression_ratio(text),
+                                  temperature=float(temps[b]))
+        return results
+
+    def detect_language(self, audio: np.ndarray) -> str:
+        mel = self.compute_mel(audio[: MEL.N_SAMPLES])
+        fn = self._detect_fn(1, mel.shape[1])
+        lang_ids, _ = fn(self.params, mel)
+        return self.tokenizer.lang_code(int(np.asarray(lang_ids)[0]))
+
+    # --------------------------------------------------------- long-form API
+
+    def transcribe_audio(self, audio: np.ndarray, params: AsrParams) -> TranscribeResult:
+        """Long-form transcription: 30 s windows advanced by decoded timestamp
+        boundaries (openai-style seek), with silence skipping via
+        no_speech_thold (whisper.rs:167)."""
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        if audio.size == 0:
+            return TranscribeResult(segments=[], full_text="")
+        language = params.language or (
+            self.detect_language(audio) if self.tokenizer.multilingual else "en")
+
+        seek = 0
+        raw_segments: list[dict] = []
+        while seek < audio.size:
+            window = audio[seek : seek + MEL.N_SAMPLES]
+            mel = self.compute_mel(window)  # pads to 3000 frames
+            res = self.decode_windows(mel, language, task=params.task,
+                                      suppress_non_speech=params.suppress_non_speech)[0]
+            offset = seek / SAMPLE_RATE
+            window_dur = min(window.size, MEL.N_SAMPLES) / SAMPLE_RATE
+            if (res["no_speech_prob"] > self.config.no_speech_thold
+                    and res["avg_logprob"] < self.config.logprob_thold):
+                seek += MEL.N_SAMPLES  # silent window
+                continue
+            segs, advance = D.segments_from_tokens(
+                res["tokens"], res["n_sampled"], self.tokenizer, window_offset=offset)
+            for s in segs:
+                s["end"] = min(s["end"], offset + window_dur)
+                s["start"] = min(s["start"], s["end"])
+            raw_segments.extend(segs)
+            if advance is not None and advance > 0.5:
+                seek += int(advance * SAMPLE_RATE)
+            else:
+                seek += MEL.N_SAMPLES
+        return self._postprocess(raw_segments, params, language)
+
+    def _postprocess(self, raw_segments: list[dict], params: AsrParams,
+                     language: str | None) -> TranscribeResult:
+        """Reference segment pipeline (whisper.rs:75-121): promo filter,
+        punctuation heuristic, stream-mode last-segment-only collapse."""
+        segments: list[TranscribeSegment] = []
+        speaker = 0
+        for s in raw_segments:
+            if not s["text"].strip():
+                continue
+            if PP.is_promotional_text(s["text"]):
+                log.debug("filtered promotional segment: %s", s["text"])
+                continue
+            text = PP.add_punctuation(s["text"]) if language == "zh" else s["text"]
+            segments.append(TranscribeSegment(text=text, speaker_id=speaker,
+                                              start=s["start"], end=s["end"]))
+        if params.stream_mode and segments:
+            # reference keeps only the final segment in stream mode
+            # (whisper.rs:107-117)
+            last = segments[-1]
+            return TranscribeResult(segments=[last], full_text=last.text, language=language)
+        full_text = "".join(s.text for s in segments)
+        return TranscribeResult(segments=segments, full_text=full_text, language=language)
+
+    # ----------------------------------------------------- AsrEngine surface
+
+    def create_state(self) -> EngineState:
+        return EngineState()
+
+    def transcribe_with_state(self, state: EngineState, audio, params: AsrParams) -> TranscribeResult:
+        with state.lock:  # reference serializes per-stream (asr/mod.rs:60)
+            if params.language is None and state.language:
+                params = AsrParams(**{**params.__dict__, "language": state.language})
+            if params.stream_mode:
+                result = self._transcribe_stream_chunk(audio, params)
+            else:
+                result = self.transcribe_audio(np.asarray(audio, np.float32), params)
+            state.language = result.language or state.language
+            return result
+
+    def _transcribe_stream_chunk(self, audio, params: AsrParams) -> TranscribeResult:
+        """Streaming chunk (~5 s): truncated-encoder bucket, no seek loop."""
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        n_frames = max(1, audio.size // MEL.HOP_LENGTH)
+        bucket = self._mel_bucket(n_frames)
+        mel = self.compute_mel(audio, pad_to=bucket)
+        language = params.language or "en"
+        res = self.decode_windows(mel, language, task=params.task,
+                                  suppress_non_speech=params.suppress_non_speech,
+                                  max_new_tokens=96)[0]
+        window_dur = audio.size / SAMPLE_RATE
+        segs, _ = D.segments_from_tokens(res["tokens"], res["n_sampled"], self.tokenizer)
+        for s in segs:
+            s["end"] = min(s["end"], window_dur)
+            s["start"] = min(s["start"], s["end"])
+        return self._postprocess(segs, params, language)

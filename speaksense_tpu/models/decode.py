@@ -114,9 +114,12 @@ def apply_logit_rules(logits: jax.Array, cfg: RuleConfig, suppress_mask: jax.Arr
 
 
 def _sample(logits: jax.Array, temperature: jax.Array, key: jax.Array) -> jax.Array:
-    """Greedy at t==0, Gumbel-max otherwise — one branchless formulation."""
+    """Greedy at t==0, Gumbel-max otherwise — one branchless formulation.
+    temperature is per-slot (B,) so a fallback retry re-decodes only the slots
+    that tripped the quality thresholds at a higher temperature while the rest
+    stay greedy (whisper.cpp retries whole windows serially instead)."""
     gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, logits.shape, minval=1e-20, maxval=1.0)))
-    t = jnp.maximum(temperature, 0.0)
+    t = jnp.maximum(jnp.broadcast_to(temperature, logits.shape[:1]), 0.0)[:, None]
     noisy = jnp.where(t > 0, logits / jnp.maximum(t, 1e-6) + gumbel, logits)
     return jnp.argmax(noisy, axis=-1).astype(jnp.int32)
 

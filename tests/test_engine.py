@@ -1,0 +1,80 @@
+"""End-to-end engine tests on a tiny random-weight model (hermetic)."""
+
+import numpy as np
+import pytest
+
+from speaksense_tpu.asr import AsrParams
+from speaksense_tpu.asr.engine import WhisperEngine
+from speaksense_tpu.asr.fake import FakeAsrEngine
+from speaksense_tpu.config import EngineConfig
+from speaksense_tpu.models.whisper import WhisperDims, init_params
+from speaksense_tpu.models.tokenizer import Tokenizer
+
+TINY_DIMS = WhisperDims(
+    n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
+    n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+    n_text_head=4, n_text_layer=2)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    import jax
+
+    params = init_params(TINY_DIMS, jax.random.PRNGKey(0))
+    tok = Tokenizer.synthetic(TINY_DIMS.n_vocab)
+    cfg = EngineConfig(compute_dtype="float32")
+    return WhisperEngine(params, TINY_DIMS, tok, config=cfg, name="test-tiny")
+
+
+def test_transcribe_audio_structure(engine, rng):
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    res = engine.transcribe_audio(audio, AsrParams(language="en"))
+    assert isinstance(res.full_text, str)
+    for s in res.segments:
+        assert s.end >= s.start >= 0.0
+        assert s.end <= 3.5  # clamped to window duration
+    assert res.language == "en"
+
+
+def test_transcribe_with_state_stream_mode(engine, rng):
+    state = engine.create_state()
+    audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    res = engine.transcribe_with_state(state, audio, AsrParams(language="en", stream_mode=True))
+    # stream mode returns at most the final segment (reference whisper.rs:107-117)
+    assert len(res.segments) <= 1
+    if res.segments:
+        assert res.full_text == res.segments[0].text
+
+
+def test_empty_audio(engine):
+    res = engine.transcribe_audio(np.zeros((0,), np.float32), AsrParams(language="en"))
+    assert res.full_text == "" and res.segments == []
+
+
+def test_detect_language_returns_code(engine, rng):
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    code = engine.detect_language(audio)
+    assert isinstance(code, str) and len(code) >= 2
+
+
+def test_decode_windows_batched(engine, rng):
+    mels = engine.compute_mel(
+        (rng.standard_normal((2, 16000 * 2)) * 0.1).astype(np.float32))
+    out = engine.decode_windows(mels, "en")
+    assert len(out) == 2
+    for r in out:
+        assert set(r) >= {"tokens", "n_sampled", "text", "avg_logprob",
+                          "no_speech_prob", "compression_ratio", "temperature"}
+        assert r["temperature"] in (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+
+
+def test_fake_engine_deterministic(rng):
+    fake = FakeAsrEngine()
+    audio = (rng.standard_normal(16000 * 7) * 0.2).astype(np.float32)
+    r1 = fake.transcribe(audio, AsrParams())
+    r2 = fake.transcribe(audio, AsrParams())
+    assert r1.full_text == r2.full_text
+    assert len(r1.segments) == 2
+    assert r1.segments[1].end == pytest.approx(7.0)
+    other = fake.transcribe(audio * 0.5, AsrParams())
+    assert other.full_text != r1.full_text

@@ -1,0 +1,42 @@
+"""Multi-chip sharding: the dryrun path must compile and execute on the
+8-device virtual CPU mesh (same path the driver validates)."""
+
+import jax
+import numpy as np
+
+import __graft_entry__
+
+
+def test_dryrun_multichip_8():
+    assert len(jax.devices()) == 8
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_mesh_factorization():
+    from speaksense_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, tp=2)
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("dp", "tp")
+
+
+def test_shard_params_placement():
+    from jax.sharding import PartitionSpec as P
+
+    from speaksense_tpu.parallel import make_mesh, shard_params, param_shardings
+    from speaksense_tpu.models.whisper import WhisperDims, init_params
+
+    dims = WhisperDims(
+        n_mels=80, n_vocab=1024, n_audio_ctx=1500, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+        n_text_head=4, n_text_layer=2)
+    params = init_params(dims)
+    mesh = make_mesh(8, tp=2)
+    sharded = shard_params(params, mesh)
+    # column-parallel q weight: out dim split by tp
+    qw = sharded["encoder"]["blocks"]["q"]["w"]
+    shard_shapes = {s.data.shape for s in qw.addressable_shards}
+    assert shard_shapes == {(2, 64, 32)}
+    # row-parallel o weight: in dim split
+    ow = sharded["encoder"]["blocks"]["o"]["w"]
+    assert {s.data.shape for s in ow.addressable_shards} == {(2, 32, 64)}
