@@ -1,0 +1,200 @@
+"""TaskManager: registry, lifecycle, claims, retries, callbacks, sweeps.
+
+Mirror of /root/reference/src/schedule/scheduler/task_manager.rs:
+- processor registry by TaskType (:55-59)
+- create_task validates then persists Pending (:61-83)
+- get_next_task claims from get_pending_by_priority(10) guarded by an
+  in-memory processing map (:85-119)
+- retry bookkeeping to max_retries -> Retrying/Failed (:140-159); unlike the
+  reference, Retrying tasks ARE re-claimed (the persisted retry_count now
+  advances too — both SURVEY.md §7 quirk fixes)
+- 30-min stale-claim cleanup (:161-179) and DB timeout sweep (:275-284)
+- status/stats/cleanup/priority APIs (:182-224, 287-308)
+- callback dispatch by CallbackType (:226-256)
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import logging
+import threading
+import time
+from typing import Callable, Optional
+
+from speaksense_tpu.schedule.callback import (
+    EventBus, EventCallback, FunctionCallback, HttpCallback, TaskCallback,
+)
+from speaksense_tpu.schedule.processors import TaskProcessor
+from speaksense_tpu.schedule.types import (
+    CallbackType, Task, TaskConfig, TaskPriority, TaskResult, TaskStatus,
+    TaskType, utcnow,
+)
+from speaksense_tpu.storage.sqlite import SqliteTaskStorage
+
+log = logging.getLogger(__name__)
+
+STALE_CLAIM_SECONDS = 30 * 60  # task_manager.rs:161-179
+
+
+class TaskStats(dict):
+    """Status-kind -> count (task_manager.rs:316-322)."""
+
+
+class TaskManager:
+    def __init__(self, storage: SqliteTaskStorage):
+        self.storage = storage
+        self.processors: dict[TaskType, TaskProcessor] = {}
+        self.functions: dict[str, Callable[[dict], None]] = {}
+        self.event_bus = EventBus()
+        self._processing: dict[str, float] = {}  # task_id -> claim monotonic time
+        self._lock = threading.Lock()
+
+    # -- registry ------------------------------------------------------------
+
+    def register_processor(self, processor: TaskProcessor) -> None:
+        self.processors[processor.task_type] = processor
+
+    def register_function(self, name: str, fn: Callable[[dict], None]) -> None:
+        """Target registry for CallbackType::Function."""
+        self.functions[name] = fn
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def create_task(self, config: TaskConfig) -> Task:
+        processor = self.processors.get(config.task_type)
+        if processor is None:
+            raise ValueError(f"no processor registered for {config.task_type}")
+        processor.validate_params(config)
+        task = Task.new(config)
+        self.storage.create(task)
+        log.info("created task %s (%s)", task.id, config.task_type)
+        return task
+
+    def get_next_task(self) -> Optional[Task]:
+        """Claim the highest-priority pending/retrying task not already being
+        processed."""
+        candidates = self.storage.get_pending_by_priority(10)
+        with self._lock:
+            for task in candidates:
+                if task.id in self._processing:
+                    continue
+                self._processing[task.id] = time.monotonic()
+                self.storage.update(task.id, TaskStatus.processing())
+                task.status = TaskStatus.processing()
+                task.started_at = utcnow()
+                return task
+        return None
+
+    def process_task(self, task: Task) -> TaskResult:
+        processor = self.processors.get(task.config.task_type)
+        if processor is None:
+            raise ValueError(f"no processor for {task.config.task_type}")
+        try:
+            return processor.process(task)
+        finally:
+            with self._lock:
+                self._processing.pop(task.id, None)
+
+    def complete_task(self, task: Task, result: TaskResult) -> None:
+        task.result = result
+        task.status = TaskStatus.completed()
+        task.completed_at = utcnow()
+        task.updated_at = utcnow()
+        self.storage.create(task)  # upsert with result (worker.rs:60-65)
+        try:
+            self.handle_callback(task)
+        except Exception as e:  # callbacks must not kill the worker
+            log.error("callback for task %s failed: %s", task.id, e)
+
+    def handle_task_failure(self, task: Task, error: str) -> None:
+        """Retry up to max_retries, then Failed (task_manager.rs:140-159).
+        The retry counter is persisted via the config JSON so restarts don't
+        reset it (reference only advanced an in-memory copy)."""
+        with self._lock:
+            self._processing.pop(task.id, None)
+        task.config.retry_count += 1
+        if task.config.retry_count <= task.config.max_retries:
+            task.status = TaskStatus.retrying()
+            task.updated_at = utcnow()
+            self.storage.create(task)
+            log.warning("task %s failed (attempt %d/%d), will retry: %s",
+                        task.id, task.config.retry_count, task.config.max_retries, error)
+        else:
+            task.status = TaskStatus.failed(error)
+            task.error = error
+            task.updated_at = utcnow()
+            self.storage.create(task)
+            log.error("task %s permanently failed: %s", task.id, error)
+            try:
+                cb = self._callback_for(task)
+                if cb:
+                    cb.on_error(task, error)
+            except Exception as e:
+                log.error("error callback for %s failed: %s", task.id, e)
+
+    # -- sweeps --------------------------------------------------------------
+
+    def cleanup_stale_claims(self) -> int:
+        """Drop in-memory claims older than 30 min so crashed workers don't
+        wedge their tasks forever."""
+        cutoff = time.monotonic() - STALE_CLAIM_SECONDS
+        with self._lock:
+            stale = [tid for tid, t in self._processing.items() if t < cutoff]
+            for tid in stale:
+                del self._processing[tid]
+        return len(stale)
+
+    def check_timeouts(self) -> int:
+        """DB sweep: Processing rows whose started_at + timeout elapsed ->
+        TimedOut (task_manager.rs:275-284)."""
+        timed_out = self.storage.get_timeouted()
+        for task in timed_out:
+            self.storage.update(task.id, TaskStatus.timed_out())
+            with self._lock:
+                self._processing.pop(task.id, None)
+        return len(timed_out)
+
+    # -- queries -------------------------------------------------------------
+
+    def get_task(self, task_id: str) -> Optional[Task]:
+        return self.storage.get(task_id)
+
+    def get_task_status(self, task_id: str) -> Optional[TaskStatus]:
+        task = self.storage.get(task_id)
+        return task.status if task else None
+
+    def get_task_stats(self) -> TaskStats:
+        return TaskStats(self.storage.count_by_status())
+
+    def cleanup_old_tasks(self, older_than: _dt.timedelta) -> int:
+        return self.storage.cleanup_old(utcnow() - older_than)
+
+    def update_task_priority(self, task_id: str, priority: TaskPriority) -> bool:
+        """Pending-only (web/handlers/schedule.rs semantics)."""
+        task = self.storage.get(task_id)
+        if task is None or task.status.kind != TaskStatus.PENDING:
+            return False
+        self.storage.update_priority(task_id, priority)
+        return True
+
+    # -- callbacks -----------------------------------------------------------
+
+    def _callback_for(self, task: Task) -> Optional[TaskCallback]:
+        ct = task.config.callback_type
+        if ct.kind == CallbackType.HTTP and ct.url:
+            return HttpCallback(ct.url)
+        if ct.kind == CallbackType.FUNCTION and ct.name:
+            fn = self.functions.get(ct.name)
+            if fn is None:
+                log.warning("no function registered for callback %r", ct.name)
+                return None
+            return FunctionCallback(fn)
+        if ct.kind == CallbackType.EVENT:
+            return EventCallback(self.event_bus)
+        return None
+
+    def handle_callback(self, task: Task) -> None:
+        cb = self._callback_for(task)
+        if cb is None or task.result is None:
+            return
+        cb.on_complete(task, task.result)

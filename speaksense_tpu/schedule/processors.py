@@ -1,0 +1,126 @@
+"""Task processors.
+
+Mirror of /root/reference/src/schedule/processors/: the TaskProcessor
+interface (mod.rs:10-16) and TranscribeProcessor (transcribe.rs), which
+downloads/locates the input, runs the audio pipeline + ASR engine, and
+returns a TranscribeTaskResult.
+
+TPU-first difference: the reference pipes 30 s buffers one-at-a-time through
+a mutex'd whisper state (transcribe.rs:102-142); ours hands the whole audio
+to WhisperEngine.transcribe_audio, which windows with timestamp-seek and can
+batch windows of many tasks through one compiled program.
+"""
+
+from __future__ import annotations
+
+import abc
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+
+from speaksense_tpu.asr import AsrEngine, AsrParams
+from speaksense_tpu.schedule.types import (
+    PathType, ResultSegment, Task, TaskConfig, TaskResult, TaskType,
+    TranscribeTaskResult,
+)
+
+log = logging.getLogger(__name__)
+
+SUPPORTED_LANGUAGES = ("zh", "en", "ja")  # transcribe.rs:196-217
+
+
+class TaskProcessor(abc.ABC):
+    @property
+    @abc.abstractmethod
+    def task_type(self) -> TaskType: ...
+
+    @abc.abstractmethod
+    def process(self, task: Task) -> TaskResult: ...
+
+    def validate_params(self, config: TaskConfig) -> None:
+        """Raise ValueError on invalid params."""
+
+    def cancel(self, task: Task) -> None:
+        raise NotImplementedError("cancel not supported")  # transcribe.rs:219-223
+
+    def cleanup(self, task: Task) -> None:
+        """Remove task-local artifacts."""
+
+
+class TranscribeProcessor(TaskProcessor):
+    def __init__(self, engine: AsrEngine, audio_dir: str = "./asr_data/audio/",
+                 denoise: bool = False):
+        self.engine = engine
+        self.audio_dir = audio_dir
+        self.denoise = denoise
+
+    @property
+    def task_type(self) -> TaskType:
+        return TaskType.TRANSCRIBE
+
+    def validate_params(self, config: TaskConfig) -> None:
+        if config.task_type is not TaskType.TRANSCRIBE:
+            raise ValueError("TranscribeProcessor only handles Transcribe tasks")
+        params = config.params.params
+        lang = getattr(params, "language", None)
+        if lang is not None and lang not in SUPPORTED_LANGUAGES:
+            raise ValueError(
+                f"unsupported language {lang!r}; supported: {', '.join(SUPPORTED_LANGUAGES)}")
+        if not config.input_path:
+            raise ValueError("input_path is required")
+
+    def _resolve_input(self, task: Task) -> tuple[Path, bool]:
+        """URL -> download into audio_dir (utils/http.rs:21); Local -> as-is.
+        Returns (path, should_delete_after)."""
+        cfg = task.config
+        if cfg.path_type is PathType.URL:
+            from speaksense_tpu.utils.http import download_audio
+
+            return download_audio(cfg.input_path, self.audio_dir), True
+        path = Path(cfg.input_path)
+        if not path.is_file():
+            raise FileNotFoundError(f"input audio not found: {path}")
+        # the reference deletes even local inputs after processing
+        # (transcribe.rs:153-156); we only delete files we downloaded
+        return path, False
+
+    def process(self, task: Task) -> TaskResult:
+        from speaksense_tpu.audio.io import load_audio
+
+        path, delete_after = self._resolve_input(task)
+        try:
+            audio = load_audio(path)
+            if self.denoise:
+                from speaksense_tpu.audio.dsp import DenoiseConfig, denoise_audio
+
+                audio = denoise_audio(audio, DenoiseConfig(post_gain=1.0))
+            p = task.config.params.params
+            asr_params = AsrParams(
+                language=getattr(p, "language", None),
+                speaker_diarization=getattr(p, "speaker_diarization", False),
+            )
+            result = self.engine.transcribe(np.asarray(audio, np.float32), asr_params)
+            segments = [
+                ResultSegment(
+                    text=s.text,
+                    speaker_id=s.speaker_id if asr_params.speaker_diarization else None,
+                    start_time=s.start, end_time=s.end)
+                for s in result.segments
+            ]
+            return TaskResult.transcribe(
+                TranscribeTaskResult(text=result.full_text, segments=segments))
+        finally:
+            if delete_after:
+                try:
+                    os.remove(path)
+                except OSError as e:
+                    log.warning("failed to remove %s: %s", path, e)
+
+    def cleanup(self, task: Task) -> None:
+        if task.config.path_type is PathType.URL:
+            name = task.config.input_path.rstrip("/").rsplit("/", 1)[-1]
+            p = Path(self.audio_dir) / name
+            if p.is_file():
+                p.unlink(missing_ok=True)

@@ -1,0 +1,70 @@
+"""Durable storage interfaces (reference src/storage/).
+
+TaskStorage (9 methods — /root/reference/src/storage/task/mod.rs:11-21),
+KeyStorage (/root/reference/src/storage/key/mod.rs:20-26) and
+ApiKeyStatsStorage (:30-33), with SQLite implementations sharing the
+reference's table DDL so an existing storage.db keeps working.
+"""
+
+from __future__ import annotations
+
+import abc
+import datetime as _dt
+from typing import TYPE_CHECKING, Optional
+
+if TYPE_CHECKING:  # avoid a schedule<->storage import cycle at runtime
+    from speaksense_tpu.schedule.types import Task
+
+
+class TaskStorage(abc.ABC):
+    @abc.abstractmethod
+    def create(self, task: "Task") -> None: ...
+
+    @abc.abstractmethod
+    def list(self, index: int, size: int) -> "list[Task]": ...
+
+    @abc.abstractmethod
+    def get_pending_by_priority(self, limit: int) -> "list[Task]": ...
+
+    @abc.abstractmethod
+    def get(self, task_id: str) -> "Optional[Task]": ...
+
+    @abc.abstractmethod
+    def update(self, task_id: str, status) -> None: ...
+
+    @abc.abstractmethod
+    def delete(self, task_id: str) -> None: ...
+
+    @abc.abstractmethod
+    def get_timeouted(self) -> "list[Task]": ...
+
+    @abc.abstractmethod
+    def cleanup_old(self, before: _dt.datetime) -> int: ...
+
+    @abc.abstractmethod
+    def get_by_status(self, status_kind: str) -> "list[Task]": ...
+
+
+class KeyStorage(abc.ABC):
+    @abc.abstractmethod
+    def get(self, api_key: str): ...
+
+    @abc.abstractmethod
+    def create(self, api_key: str, info) -> None: ...
+
+    @abc.abstractmethod
+    def remove(self, api_key: str) -> None: ...
+
+    @abc.abstractmethod
+    def list(self): ...
+
+    @abc.abstractmethod
+    def update_status(self, api_key: str, status) -> None: ...
+
+
+class ApiKeyStatsStorage(abc.ABC):
+    @abc.abstractmethod
+    def get_stats(self, api_key: str): ...
+
+    @abc.abstractmethod
+    def update_stats(self, api_key: str, stats) -> None: ...

@@ -1,0 +1,137 @@
+"""Task pipeline end-to-end: create -> claim -> process -> result -> callback,
+retries, timeouts — hermetic via FakeAsrEngine + Function callbacks (no
+network, no model; the reference's equivalent test needed ggml-large-v3.bin,
+SURVEY.md §4)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from speaksense_tpu.asr.fake import FakeAsrEngine
+from speaksense_tpu.audio.io import write_wav
+from speaksense_tpu.schedule import (
+    CallbackType, PathType, Task, TaskConfig, TaskManager, TaskParams,
+    TaskPriority, TaskStatus, TaskType, TranscribeParams,
+)
+from speaksense_tpu.schedule.processors import TranscribeProcessor
+from speaksense_tpu.schedule.scheduler import TaskScheduler
+from speaksense_tpu.storage.sqlite import SqliteTaskStorage
+
+
+@pytest.fixture
+def manager(tmp_path):
+    storage = SqliteTaskStorage(tmp_path / "tasks.db")
+    m = TaskManager(storage)
+    m.register_processor(TranscribeProcessor(FakeAsrEngine(), audio_dir=str(tmp_path)))
+    yield m
+    storage.close()
+
+
+def _wav(tmp_path, name="in.wav", seconds=2.0):
+    path = tmp_path / name
+    t = np.arange(int(16000 * seconds)) / 16000
+    write_wav(path, 0.3 * np.sin(2 * np.pi * 300 * t))
+    return path
+
+
+def _config(path, callback=None, language="en", **kw):
+    return TaskConfig(
+        task_type=TaskType.TRANSCRIBE, input_path=str(path),
+        path_type=PathType.LOCAL,
+        callback_type=callback or CallbackType.none(),
+        params=TaskParams.transcribe(TranscribeParams(language=language)), **kw)
+
+
+def test_create_validates_language(manager, tmp_path):
+    with pytest.raises(ValueError, match="unsupported language"):
+        manager.create_task(_config(_wav(tmp_path), language="xx"))
+
+
+def test_full_pipeline_with_function_callback(manager, tmp_path):
+    events = []
+    manager.register_function("collect", events.append)
+    task = manager.create_task(
+        _config(_wav(tmp_path), callback=CallbackType.function("collect")))
+
+    claimed = manager.get_next_task()
+    assert claimed.id == task.id
+    assert claimed.status.kind == TaskStatus.PROCESSING
+    result = manager.process_task(claimed)
+    manager.complete_task(claimed, result)
+
+    stored = manager.get_task(task.id)
+    assert stored.status.kind == TaskStatus.COMPLETED
+    assert stored.result.result.text.startswith("seg0-")
+    assert len(stored.result.result.segments) == 1
+    assert events and events[0]["kind"] == "complete"
+    assert events[0]["task_id"] == task.id
+
+
+def test_worker_thread_processes(manager, tmp_path):
+    done = []
+    manager.register_function("done", done.append)
+    scheduler = TaskScheduler(manager, sweep_interval=0.2)
+    scheduler.spawn_worker(TaskType.TRANSCRIBE, poll_interval=0.05)
+    try:
+        task = manager.create_task(
+            _config(_wav(tmp_path), callback=CallbackType.function("done")))
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            t = manager.get_task(task.id)
+            if t.status.kind == TaskStatus.COMPLETED:
+                break
+            time.sleep(0.05)
+        assert manager.get_task(task.id).status.kind == TaskStatus.COMPLETED
+        assert done
+    finally:
+        scheduler.stop()
+
+
+def test_retry_then_fail(manager, tmp_path):
+    # nonexistent file passes validation but fails at process time
+    task = manager.create_task(_config(tmp_path / "missing.wav", max_retries=2))
+
+    for attempt in range(3):
+        claimed = manager.get_next_task()
+        assert claimed is not None, f"attempt {attempt}: task not re-claimable"
+        with pytest.raises(FileNotFoundError):
+            manager.process_task(claimed)
+        manager.handle_task_failure(claimed, "file missing")
+    final = manager.get_task(task.id)
+    assert final.status.kind == TaskStatus.FAILED
+    assert final.config.retry_count == 3
+    assert manager.get_next_task() is None  # failed tasks are not claimed
+
+
+def test_claim_guard_prevents_double_processing(manager, tmp_path):
+    manager.create_task(_config(_wav(tmp_path)))
+    first = manager.get_next_task()
+    assert first is not None
+    assert manager.get_next_task() is None  # in-memory claim guard
+
+
+def test_priority_update_pending_only(manager, tmp_path):
+    task = manager.create_task(_config(_wav(tmp_path)))
+    assert manager.update_task_priority(task.id, TaskPriority.CRITICAL)
+    got = manager.get_task(task.id)
+    assert got.config.priority is TaskPriority.CRITICAL
+    claimed = manager.get_next_task()
+    assert not manager.update_task_priority(claimed.id, TaskPriority.LOW)
+
+
+def test_task_stats(manager, tmp_path):
+    manager.create_task(_config(_wav(tmp_path, "a.wav")))
+    t2 = manager.create_task(_config(_wav(tmp_path, "b.wav")))
+    manager.storage.update(t2.id, TaskStatus.completed())
+    stats = manager.get_task_stats()
+    assert stats == {"Pending": 1, "Completed": 1}
+
+
+def test_event_bus_callback(manager, tmp_path):
+    q = manager.event_bus.subscribe()
+    task = manager.create_task(_config(_wav(tmp_path), callback=CallbackType.event()))
+    claimed = manager.get_next_task()
+    manager.complete_task(claimed, manager.process_task(claimed))
+    ev = q.get(timeout=2)
+    assert ev.kind == "complete" and ev.task_id == task.id
