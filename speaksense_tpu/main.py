@@ -1,0 +1,105 @@
+"""Composition root: wire everything and serve.
+
+Startup order mirrors the reference (/root/reference/src/main.rs:24-103):
+env/config -> logging -> dirs -> ASR engine -> SQLite stores -> Auth + admin
+key -> TaskManager + TranscribeProcessor -> scheduler/workers -> gRPC server
+(with etcd registration) -> REST server. Unlike the reference, a missing
+etcd does not abort gRPC startup unless config.etcd_required.
+
+Run: python -m speaksense_tpu.main [--model PATH | --fake-engine]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import logging
+
+from speaksense_tpu.config import Config
+from speaksense_tpu.utils import logging as logsetup
+
+log = logging.getLogger("speaksense")
+
+
+def build_engine(config: Config, fake: bool = False):
+    if fake:
+        from speaksense_tpu.asr.fake import FakeAsrEngine
+
+        log.warning("using FakeAsrEngine (no model loaded)")
+        return FakeAsrEngine()
+    from speaksense_tpu.asr.engine import WhisperEngine
+
+    return WhisperEngine.from_pretrained(config.model_path, config=config.engine)
+
+
+def build_context(config: Config, engine):
+    from speaksense_tpu.auth import Auth
+    from speaksense_tpu.schedule.manager import TaskManager
+    from speaksense_tpu.schedule.processors import TranscribeProcessor
+    from speaksense_tpu.schedule.scheduler import create_scheduler
+    from speaksense_tpu.schedule.types import TaskType
+    from speaksense_tpu.serving.rest import AppContext
+    from speaksense_tpu.storage.sqlite import SqliteKeyStorage, SqliteTaskStorage
+
+    task_storage = SqliteTaskStorage(config.sqlite_file)
+    key_storage = SqliteKeyStorage(config.sqlite_file)
+    auth = Auth(key_storage, key_storage)
+    auth.initialize_admin_key()
+
+    manager = TaskManager(task_storage)
+    manager.register_processor(TranscribeProcessor(engine, audio_dir=config.audio_path))
+    scheduler = create_scheduler(manager, [TaskType.TRANSCRIBE])
+    return AppContext(auth=auth, task_manager=manager), scheduler
+
+
+async def serve(config: Config, fake_engine: bool = False) -> None:
+    from speaksense_tpu.registry.etcd import EtcdRegistry
+    from speaksense_tpu.serving.grpc_server import GrpcServer
+    from speaksense_tpu.serving.rest import start_server
+
+    config.init_dirs()
+    engine = build_engine(config, fake=fake_engine)
+    ctx, scheduler = build_context(config, engine)
+
+    registry = EtcdRegistry(config.etcd_endpoint)
+    grpc_server = GrpcServer(engine, port=config.grpc_port, registry=registry)
+    try:
+        await grpc_server.start()
+    except Exception:
+        if config.etcd_required:
+            raise
+        log.exception("gRPC startup issue")
+
+    runner = await start_server(ctx, port=config.http_port)
+    log.info("SpeakSense-TPU up: gRPC :%d, REST :%d", config.grpc_port, config.http_port)
+    try:
+        await grpc_server.wait()
+    finally:
+        scheduler.stop()
+        await grpc_server.stop()
+        await runner.cleanup()
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="SpeakSense-TPU ASR server")
+    parser.add_argument("--model", help="ggml model path (default: $ASR_MODEL_PATH)")
+    parser.add_argument("--fake-engine", action="store_true",
+                        help="serve with the deterministic fake engine (no TPU)")
+    parser.add_argument("--http-port", type=int)
+    parser.add_argument("--grpc-port", type=int)
+    args = parser.parse_args()
+
+    config = Config.from_env()
+    if args.model:
+        config.model_path = args.model
+    if args.http_port:
+        config.http_port = args.http_port
+    if args.grpc_port:
+        config.grpc_port = args.grpc_port
+
+    logsetup.init(config.log_dir)
+    asyncio.run(serve(config, fake_engine=args.fake_engine))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""etcd service registration, go-micro compatible.
+
+Mirror of /root/reference/src/registry/etcd.rs: lease grant (TTL 10 s), PUT
+`/micro/registry/{service}/{node_id}` with the lease, 3 s keep-alive loop,
+deregister deletes the key and revokes the lease. Liveness therefore works
+the same way: a crashed server's registration expires with its lease.
+
+Implementation uses etcd's v3 JSON/gRPC-gateway over aiohttp (the reference
+uses the etcd-client gRPC crate; the gateway writes the same keyspace, so
+go-micro clients resolve nodes identically). etcd being unreachable raises —
+callers decide whether that is fatal (GrpcServer logs and continues;
+config.etcd_required restores the reference's hard-fail).
+"""
+
+from __future__ import annotations
+
+import abc
+import asyncio
+import base64
+import json
+import logging
+
+import aiohttp
+
+log = logging.getLogger(__name__)
+
+MICRO_PREFIX = "/micro/registry"
+
+
+class Registry(abc.ABC):
+    """reference trait Registry (registry/mod.rs:29-41)."""
+
+    @abc.abstractmethod
+    async def register(self, service_info: dict) -> None: ...
+
+    @abc.abstractmethod
+    async def deregister(self) -> None: ...
+
+    @abc.abstractmethod
+    async def start_heartbeat(self) -> None: ...
+
+    @abc.abstractmethod
+    async def stop_heartbeat(self) -> None: ...
+
+
+def _b64(s: str | bytes) -> str:
+    if isinstance(s, str):
+        s = s.encode()
+    return base64.b64encode(s).decode()
+
+
+class EtcdRegistry(Registry):
+    def __init__(self, endpoint: str = "http://localhost:2379", lease_ttl: int = 10,
+                 heartbeat_interval: float = 3.0, timeout: float = 5.0):
+        self.endpoint = endpoint.rstrip("/")
+        self.lease_ttl = lease_ttl
+        self.heartbeat_interval = heartbeat_interval
+        self.timeout = aiohttp.ClientTimeout(total=timeout)
+        self.lease_id: int | None = None
+        self.key: str | None = None
+        self._hb_task: asyncio.Task | None = None
+
+    async def _post(self, path: str, payload: dict) -> dict:
+        async with aiohttp.ClientSession(timeout=self.timeout) as sess:
+            async with sess.post(f"{self.endpoint}{path}", json=payload) as resp:
+                resp.raise_for_status()
+                return await resp.json()
+
+    async def register(self, service_info: dict) -> None:
+        grant = await self._post("/v3/lease/grant", {"TTL": str(self.lease_ttl), "ID": "0"})
+        self.lease_id = int(grant["ID"])
+        node_id = service_info["nodes"][0]["id"]
+        self.key = f"{MICRO_PREFIX}/{service_info['name']}/{node_id}"
+        await self._post("/v3/kv/put", {
+            "key": _b64(self.key),
+            "value": _b64(json.dumps(service_info)),
+            "lease": str(self.lease_id),
+        })
+        log.info("registered %s (lease %x)", self.key, self.lease_id)
+
+    async def deregister(self) -> None:
+        if self.key:
+            try:
+                await self._post("/v3/kv/deleterange", {"key": _b64(self.key)})
+            finally:
+                if self.lease_id:
+                    await self._post("/v3/lease/revoke", {"ID": str(self.lease_id)})
+        self.key = None
+        self.lease_id = None
+
+    async def start_heartbeat(self) -> None:
+        if self._hb_task is not None:
+            return
+        self._hb_task = asyncio.create_task(self._heartbeat_loop())
+
+    async def stop_heartbeat(self) -> None:
+        if self._hb_task is not None:
+            self._hb_task.cancel()
+            try:
+                await self._hb_task
+            except asyncio.CancelledError:
+                pass
+            self._hb_task = None
+
+    async def _heartbeat_loop(self) -> None:
+        """3 s lease keep-alive (etcd.rs:89-122). A missed beat is logged and
+        retried; if the lease expires, the registration lapses (liveness)."""
+        while True:
+            await asyncio.sleep(self.heartbeat_interval)
+            if self.lease_id is None:
+                continue
+            try:
+                await self._post("/v3/lease/keepalive", {"ID": str(self.lease_id)})
+            except Exception as e:
+                log.warning("etcd keepalive failed: %s", e)

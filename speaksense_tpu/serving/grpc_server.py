@@ -1,0 +1,157 @@
+"""gRPC bidi-streaming ASR server (port 7300).
+
+Wire-compatible with the reference's tonic service (`service Asr { rpc
+Transcribe(stream) returns (stream) }`, /root/reference/proto/asr.proto:6-8;
+server bootstrap at src/grpc/server.rs): same proto, same go-micro-style etcd
+registration metadata, so existing clients and service discovery work
+unchanged.
+
+Differences by design:
+- handlers are async-generator based (grpc.aio), engine work runs in a worker
+  thread pool so many streams multiplex the TPU engine;
+- etcd being down does NOT prevent startup (the reference hard-fails,
+  src/main.rs:79 — SURVEY.md §7 step 7 calls for tolerating absence).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import socket
+import uuid
+
+import grpc
+
+from speaksense_tpu.asr import AsrEngine
+from speaksense_tpu.serving.pb import asr_pb2
+from speaksense_tpu.serving.stream import StreamEvent, StreamSession
+
+log = logging.getLogger(__name__)
+
+SERVICE_PATH = "/asr.Asr/Transcribe"
+
+
+def _event_to_response(ev: StreamEvent) -> asr_pb2.TranscribeResponse:
+    return asr_pb2.TranscribeResponse(
+        end=ev.end,
+        text=ev.text.encode("utf-8"),
+        device_id=ev.device_id,
+        segments=[asr_pb2.Segment(start=s, end=e, text=t.encode("utf-8"))
+                  for s, e, t in ev.segments],
+    )
+
+
+class AsrService:
+    """The Asr service implementation (reference AsrService,
+    src/grpc/handlers/asr.rs:20-138)."""
+
+    def __init__(self, engine: AsrEngine, language: str = "zh", denoise: bool = True):
+        self.engine = engine
+        self.language = language
+        self.denoise = denoise
+
+    async def Transcribe(self, request_iterator, context):
+        session: StreamSession | None = None
+        try:
+            async for req in request_iterator:
+                if session is None:
+                    session = StreamSession(self.engine, device_id=req.device_id,
+                                            language=self.language, denoise=self.denoise)
+                events = await asyncio.to_thread(session.feed, req.audio, req.device_id)
+                for ev in events:
+                    yield _event_to_response(ev)
+                if req.end == 1:
+                    for ev in await asyncio.to_thread(session.finish):
+                        yield _event_to_response(ev)
+                    return
+        except asyncio.CancelledError:
+            log.info("stream cancelled by client")
+            raise
+        except Exception as e:
+            log.error("stream error: %s", e, exc_info=True)
+            await context.abort(grpc.StatusCode.INTERNAL, str(e))
+
+    def handler(self) -> grpc.GenericRpcHandler:
+        rpc = grpc.stream_stream_rpc_method_handler(
+            self.Transcribe,
+            request_deserializer=asr_pb2.TranscribeRequest.FromString,
+            response_serializer=asr_pb2.TranscribeResponse.SerializeToString,
+        )
+        return grpc.method_handlers_generic_handler("asr.Asr", {"Transcribe": rpc})
+
+
+def local_ip() -> str:
+    try:
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.connect(("8.8.8.8", 80))
+        ip = s.getsockname()[0]
+        s.close()
+        return ip
+    except OSError:
+        return "127.0.0.1"
+
+
+class GrpcServer:
+    """Bind, register in etcd (go-micro layout), heartbeat, serve
+    (reference GrpcServer, src/grpc/server.rs:22-99)."""
+
+    def __init__(self, engine: AsrEngine, port: int = 7300, registry=None,
+                 service_name: str = "asr", language: str = "zh", denoise: bool = True):
+        self.engine = engine
+        self.port = port
+        self.registry = registry
+        self.service_name = service_name
+        self.node_id = f"{service_name}-{uuid.uuid4()}"
+        self.language = language
+        self.denoise = denoise
+        self._server: grpc.aio.Server | None = None
+
+    def service_info(self) -> dict:
+        """go-micro compatible registration payload (server.rs:48-69)."""
+        addr = f"{local_ip()}:{self.port}"
+        return {
+            "name": self.service_name,
+            "version": "latest",
+            "metadata": {
+                "broker": "http", "protocol": "grpc", "registry": "etcd",
+                "server": "grpc", "transport": "grpc",
+            },
+            "endpoints": [],
+            "nodes": [{
+                "id": self.node_id,
+                "address": addr,
+                "metadata": {"broker": "http", "protocol": "grpc", "registry": "etcd",
+                             "server": "grpc", "transport": "grpc"},
+            }],
+        }
+
+    async def start(self) -> None:
+        self._server = grpc.aio.server()
+        svc = AsrService(self.engine, language=self.language, denoise=self.denoise)
+        self._server.add_generic_rpc_handlers((svc.handler(),))
+        bound = self._server.add_insecure_port(f"0.0.0.0:{self.port}")
+        if bound == 0:
+            raise OSError(f"failed to bind gRPC port {self.port}")
+        self.port = bound
+        if self.registry is not None:
+            try:
+                await self.registry.register(self.service_info())
+                await self.registry.start_heartbeat()
+            except Exception as e:
+                log.warning("etcd registration failed (continuing without): %s", e)
+        await self._server.start()
+        log.info("gRPC ASR server listening on :%d", self.port)
+
+    async def wait(self) -> None:
+        if self._server:
+            await self._server.wait_for_termination()
+
+    async def stop(self, grace: float = 5.0) -> None:
+        if self.registry is not None:
+            try:
+                await self.registry.stop_heartbeat()
+                await self.registry.deregister()
+            except Exception as e:
+                log.warning("etcd deregistration failed: %s", e)
+        if self._server:
+            await self._server.stop(grace)

@@ -1,0 +1,211 @@
+"""Streaming transcription session logic (transport-independent).
+
+Behavior mirror of /root/reference/src/grpc/handlers/asr.rs:
+- StreamContext time mapping (:26-60): per-chunk segment times remapped to
+  absolute stream milliseconds with a 5 s block base and monotonic clamping;
+- process_text (:69-137): diff-based extraction of only-new text between
+  successive overlapping-chunk transcriptions (prefix diff, sentence-split
+  diff, last-segment containment), preserving trailing punctuation;
+- chunk accumulation (:14-18, :187-231): the reference's constants are in
+  BYTES of s16 PCM — CHUNK_SIZE 160000 bytes = 5 s, and the kept overlap is
+  16000 bytes = 0.5 s (the comments say 10 s / 1 s; the byte unit is the
+  actual behavior, SURVEY.md §7 quirks). Both are configurable here.
+
+Keeping this free of gRPC lets the same session drive gRPC, websockets, or
+tests directly.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from speaksense_tpu.asr import AsrEngine, AsrParams, TranscribeSegment
+
+log = logging.getLogger(__name__)
+
+SAMPLE_RATE = 16_000
+CHUNK_BYTES = SAMPLE_RATE * 10      # 160000 B of s16 = 5 s of audio
+OVERLAP_BYTES = SAMPLE_RATE         # 16000 B = 0.5 s kept between chunks
+BLOCK_SECONDS = 5.0                 # block base used for absolute times
+
+_SENTENCE_ENDS = "。！？.!?"
+
+
+class StreamContext:
+    """Absolute-time stitching state (handlers/asr.rs:26-60)."""
+
+    def __init__(self):
+        self.block_index = 0
+        self.last_text = ""
+        self.last_end_time = 0.0  # seconds
+
+    def calculate_segment_time(self, seg_start: float, seg_end: float) -> tuple[int, int]:
+        base = self.block_index * BLOCK_SECONDS
+        abs_start = int((base + seg_start) * 1000.0)
+        abs_end = int((base + seg_end) * 1000.0)
+        last_end_ms = int(self.last_end_time * 1000.0)
+        if abs_start < last_end_ms:  # monotonic clamp
+            diff = last_end_ms - abs_start
+            abs_start = last_end_ms
+            abs_end += diff
+        self.last_end_time = abs_end / 1000.0
+        return abs_start, abs_end
+
+    def next_block(self) -> None:
+        self.block_index += 1
+
+
+def process_text(new_text: str, last_text: str,
+                 segments: list[TranscribeSegment]) -> str | None:
+    """Extract only-new text between consecutive chunk transcriptions
+    (handlers/asr.rs:69-137). Returns None when nothing new."""
+    if not last_text:
+        return new_text
+
+    if segments:
+        last_segment = segments[-1]
+        if last_segment.text and last_segment.text not in last_text:
+            return last_segment.text
+
+    if len(new_text) > len(last_text) and new_text.startswith(last_text):
+        added = new_text[len(last_text):]
+        if added.strip():
+            return added.strip()
+
+    if len(new_text) > len(last_text) * 2 or len(last_text) > len(new_text) * 2:
+        return new_text
+
+    if new_text != last_text:
+        new_sentences = [s for s in _split_sentences(new_text) if s.strip()]
+        last_sentences = [s for s in _split_sentences(last_text) if s.strip()]
+        trailing = new_text[-1] if new_text and new_text[-1] in _SENTENCE_ENDS else ""
+        if len(new_sentences) > len(last_sentences):
+            new_content = "".join(new_sentences[len(last_sentences):]).strip()
+            if new_content:
+                return new_content + trailing
+        elif new_sentences and last_sentences:
+            if new_sentences[-1].strip() != last_sentences[-1].strip():
+                return new_sentences[-1].strip() + trailing
+    return None
+
+
+def _split_sentences(text: str) -> list[str]:
+    out, cur = [], []
+    for ch in text:
+        if ch in _SENTENCE_ENDS:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+def pcm16le_to_f32(data: bytes) -> np.ndarray:
+    """s16 bytes -> f32 with the reference's 1/32767 scaling
+    (handlers/asr.rs:188-194); odd trailing byte dropped."""
+    n = len(data) // 2 * 2
+    return (np.frombuffer(data[:n], "<i2").astype(np.float32) / 32767.0)
+
+
+@dataclass
+class StreamEvent:
+    """One outbound response: newly recognized text + adjusted segments."""
+
+    text: str
+    end: int
+    device_id: str
+    segments: list[tuple[int, int, str]] = field(default_factory=list)  # (ms, ms, text)
+
+
+class StreamSession:
+    """Per-connection state machine: feed() base64 chunks, get StreamEvents.
+
+    The transport calls feed() for each inbound message and forwards the
+    returned events; finish() flushes the remainder (reference end==1 path,
+    handlers/asr.rs:247-263).
+    """
+
+    def __init__(self, engine: AsrEngine, device_id: str = "",
+                 language: str = "zh", denoise: bool = True,
+                 chunk_bytes: int = CHUNK_BYTES, overlap_bytes: int = OVERLAP_BYTES):
+        self.engine = engine
+        self.state = engine.create_state()
+        self.params = AsrParams(language=language, stream_mode=True, min_segment_length=5)
+        self.device_id = device_id
+        self.denoise = denoise
+        self.chunk_bytes = chunk_bytes
+        self.overlap_bytes = overlap_bytes
+        self.buffer = bytearray()
+        self.ctx = StreamContext()
+
+    def feed(self, audio_b64: bytes, device_id: str = "") -> list[StreamEvent]:
+        if device_id and not self.device_id:
+            self.device_id = device_id
+        try:
+            decoded = base64.standard_b64decode(audio_b64)
+        except (binascii.Error, ValueError) as e:
+            log.error("failed to decode audio: %s", e)
+            return []
+        self.buffer.extend(decoded)
+        events: list[StreamEvent] = []
+        while len(self.buffer) >= self.chunk_bytes:
+            chunk = bytes(self.buffer[: self.chunk_bytes])
+            events.extend(self._transcribe_chunk(chunk))
+            # keep the overlap tail (reference keeps CHUNK-OVERLAP onward)
+            self.buffer = self.buffer[self.chunk_bytes - self.overlap_bytes :]
+        return events
+
+    def _transcribe_chunk(self, chunk: bytes) -> list[StreamEvent]:
+        audio = pcm16le_to_f32(chunk)
+        if self.denoise:
+            from speaksense_tpu.audio.dsp import DenoiseConfig, denoise_audio
+
+            audio = denoise_audio(audio, DenoiseConfig(post_gain=1.0))
+        events: list[StreamEvent] = []
+        try:
+            result = self.engine.transcribe_with_state(self.state, audio, self.params)
+        except Exception as e:
+            log.error("ASR processing failed: %s", e)
+            self.ctx.next_block()
+            return events
+        for segment in result.segments:
+            new_text = process_text(segment.text, self.ctx.last_text, [segment])
+            if new_text is None:
+                continue
+            self.ctx.last_text = segment.text
+            start_ms, end_ms = self.ctx.calculate_segment_time(segment.start, segment.end)
+            events.append(StreamEvent(
+                text=new_text, end=0, device_id=self.device_id,
+                segments=[(start_ms, end_ms, segment.text)]))
+        self.ctx.next_block()
+        return events
+
+    def finish(self) -> list[StreamEvent]:
+        """Flush remaining audio with a fresh state and emit the end:1 event."""
+        events: list[StreamEvent] = []
+        if self.buffer:
+            audio = pcm16le_to_f32(bytes(self.buffer))
+            self.buffer = bytearray()
+            try:
+                result = self.engine.transcribe(audio, self.params)
+            except Exception as e:
+                log.error("final ASR flush failed: %s", e)
+                return events
+            final_text = process_text(result.full_text, self.ctx.last_text, result.segments)
+            if final_text is not None:
+                adjusted = [
+                    (*self.ctx.calculate_segment_time(s.start, s.end), s.text)
+                    for s in result.segments
+                ]
+                segments = [(a, b, t) for a, b, t in adjusted]
+                events.append(StreamEvent(
+                    text=final_text, end=1, device_id=self.device_id, segments=segments))
+        if not events:
+            events.append(StreamEvent(text="", end=1, device_id=self.device_id))
+        return events

@@ -1,0 +1,177 @@
+"""REST API tests over a real aiohttp server on an ephemeral port, with the
+fake engine + worker thread — covers the reference's full REST surface
+(auth keys, /asr/transcribe envelope, schedule routes, callback echo)."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+from aiohttp import ClientSession, web
+
+from speaksense_tpu.asr.fake import FakeAsrEngine
+from speaksense_tpu.audio.io import write_wav
+from speaksense_tpu.auth import Auth
+from speaksense_tpu.schedule.manager import TaskManager
+from speaksense_tpu.schedule.processors import TranscribeProcessor
+from speaksense_tpu.schedule.scheduler import TaskScheduler
+from speaksense_tpu.schedule.types import TaskStatus, TaskType
+from speaksense_tpu.serving.rest import AppContext, build_app
+from speaksense_tpu.storage.sqlite import SqliteKeyStorage, SqliteTaskStorage
+
+
+@pytest.fixture
+def stack(tmp_path):
+    """(ctx, scheduler, admin_key, wav_path) with a live worker thread."""
+    task_storage = SqliteTaskStorage(tmp_path / "db.sqlite")
+    key_storage = SqliteKeyStorage(tmp_path / "db.sqlite")
+    auth = Auth(key_storage, key_storage)
+    admin = auth.initialize_admin_key()
+    manager = TaskManager(task_storage)
+    manager.register_processor(TranscribeProcessor(FakeAsrEngine(), audio_dir=str(tmp_path)))
+    scheduler = TaskScheduler(manager, sweep_interval=5.0)
+    scheduler.spawn_worker(TaskType.TRANSCRIBE, poll_interval=0.05)
+
+    wav = tmp_path / "in.wav"
+    t = np.arange(16000) / 16000
+    write_wav(wav, 0.3 * np.sin(2 * np.pi * 440 * t))
+
+    yield AppContext(auth=auth, task_manager=manager), scheduler, admin.key, wav
+    scheduler.stop()
+    task_storage.close()
+    key_storage.close()
+
+
+async def _with_server(ctx, fn):
+    app = build_app(ctx)
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, "127.0.0.1", 0)
+    await site.start()
+    port = site._server.sockets[0].getsockname()[1]
+    try:
+        async with ClientSession(f"http://127.0.0.1:{port}") as client:
+            return await fn(client)
+    finally:
+        await runner.cleanup()
+
+
+def test_auth_key_endpoints(stack):
+    ctx, _, admin_key, _ = stack
+
+    async def flow(client):
+        # create
+        resp = await client.post("/auth/api-keys", json={
+            "name": "svc", "permissions": ["Transcribe"],
+            "rate_limit": {"requests_per_minute": 50, "requests_per_hour": 0,
+                           "requests_per_day": 0},
+            "expires_in_days": 7})
+        assert resp.status == 201
+        body = await resp.json()
+        assert body["success"] is True
+        key = body["data"]["key_info"]["key"]
+        assert key.startswith("key-")
+        # stats (fresh key: zero)
+        resp = await client.get(f"/auth/api-keys/{key}/stats")
+        stats = (await resp.json())["data"]
+        assert stats["total_requests"] == 0
+        # usage report
+        resp = await client.get(f"/auth/api-keys/{key}/usage")
+        usage = (await resp.json())["data"]
+        assert usage["key_info"]["name"] == "svc"
+        assert usage["usage_summary"]["days_until_expiry"] >= 6
+        # revoke
+        resp = await client.delete(f"/auth/api-keys/{key}")
+        assert (await resp.json())["success"] is True
+        # stats for unknown key -> 404
+        resp = await client.get("/auth/api-keys/nope/stats")
+        assert resp.status == 404
+        return True
+
+    assert asyncio.run(_with_server(ctx, flow))
+
+
+def test_asr_transcribe_auth_and_envelope(stack):
+    ctx, _, admin_key, wav = stack
+
+    async def flow(client):
+        # no auth -> 401 with HttpResponse envelope
+        resp = await client.post("/asr/transcribe", json={})
+        assert resp.status == 401
+        body = await resp.json()
+        assert body["code"] == 401 and "message" in body
+        # authorized -> task id in body
+        resp = await client.post(
+            "/asr/transcribe",
+            headers={"Authorization": f"Bearer {admin_key}"},
+            json={"path": str(wav), "path_type": "Local",
+                  "callback_url": "http://127.0.0.1:1/cb",  # unreachable; logged only
+                  "language": "en", "speaker_diarization": False,
+                  "emotion_recognition": False, "filter_dirty_words": False})
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["code"] == 0
+        task_id = body["body"]
+        # poll for completion via /schedule/tasks/{id}
+        for _ in range(100):
+            resp = await client.get(f"/schedule/tasks/{task_id}")
+            task = (await resp.json())["data"]
+            if task["status"] == "Completed":
+                return task
+            await asyncio.sleep(0.05)
+        raise AssertionError(f"task stuck: {task['status']}")
+
+    task = asyncio.run(_with_server(ctx, flow))
+    assert task["result"]["type"] == "Transcribe"
+    assert task["result"]["result"]["text"].startswith("seg0-")
+
+
+def test_schedule_routes(stack):
+    ctx, _, _, wav = stack
+
+    async def flow(client):
+        config = {
+            "task_type": "Transcribe", "input_path": str(wav), "path_type": "Local",
+            "callback_type": {"type": "None"},
+            "params": {"type": "Transcribe",
+                       "params": {"language": "en", "speaker_diarization": False,
+                                  "emotion_recognition": False, "filter_dirty_words": False}},
+            "priority": "Low", "retry_count": 0, "max_retries": 3, "timeout": None}
+        resp = await client.post("/schedule/tasks", json=config)
+        assert resp.status == 201
+        task = (await resp.json())["data"]
+        task_id = task["id"]
+
+        resp = await client.get(f"/schedule/tasks/{task_id}/status")
+        assert (await resp.json())["data"] in ("Pending", "Processing", "Completed")
+
+        # priority update only while pending (likely already claimed -> either)
+        resp = await client.post(f"/schedule/tasks/{task_id}/priority",
+                                 json={"priority": "High"})
+        assert resp.status in (200, 400)
+
+        resp = await client.get("/schedule/tasks/stats")
+        stats = (await resp.json())["data"]
+        assert isinstance(stats, dict) and sum(stats.values()) >= 1
+
+        resp = await client.get("/schedule/tasks/does-not-exist")
+        assert resp.status == 404
+
+        resp = await client.post("/callback/http", json={"task_id": "x", "status": "Completed"})
+        assert resp.status == 200
+        return True
+
+    assert asyncio.run(_with_server(ctx, flow))
+
+
+def test_invalid_task_config_rejected(stack):
+    ctx, _, _, _ = stack
+
+    async def flow(client):
+        resp = await client.post("/schedule/tasks", json={"task_type": "Transcribe"})
+        assert resp.status == 400
+        body = await resp.json()
+        assert body["success"] is False and body["error"]
+        return True
+
+    assert asyncio.run(_with_server(ctx, flow))

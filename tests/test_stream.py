@@ -1,0 +1,118 @@
+"""Streaming session logic tests: process_text diff, time stitching, chunk
+cadence — behavior captured from /root/reference/src/grpc/handlers/asr.rs
+(SURVEY.md §7 calls for tests pinning this quirky logic)."""
+
+import base64
+
+import numpy as np
+
+from speaksense_tpu.asr import TranscribeSegment
+from speaksense_tpu.asr.fake import FakeAsrEngine
+from speaksense_tpu.serving.stream import (
+    CHUNK_BYTES, OVERLAP_BYTES, StreamContext, StreamSession, pcm16le_to_f32,
+    process_text,
+)
+
+
+def seg(text, start=0.0, end=1.0):
+    return TranscribeSegment(text=text, start=start, end=end)
+
+
+class TestProcessText:
+    def test_first_text_passes_through(self):
+        assert process_text("hello", "", []) == "hello"
+
+    def test_new_segment_not_in_last(self):
+        out = process_text("whatever", "previous text", [seg("brand new")])
+        assert out == "brand new"
+
+    def test_prefix_growth_returns_addition(self):
+        out = process_text("hello world again", "hello world", [seg("hello world again")])
+        # "hello world again" segment not contained in last_text -> rule 2 wins
+        assert out == "hello world again"
+        # with the segment contained, the prefix rule applies
+        out = process_text("hello world again", "hello world", [seg("hello world")])
+        assert out == "again"
+
+    def test_identical_returns_none(self):
+        assert process_text("same text", "same text", [seg("same text")]) is None
+
+    def test_length_ratio_resets(self):
+        long = "a" * 50
+        assert process_text(long, "abc", [seg("abc")]) == long
+
+    def test_sentence_diff_extra_sentence(self):
+        last = "第一句。"
+        new = "第一句。第二句。"
+        out = process_text(new, last, [seg("第一句。")])
+        assert "第二句" in out
+
+    def test_prefix_rule_wins_over_sentence_diff(self):
+        # new startswith last -> rule 3 returns only the trimmed addition
+        last = "hello there. how are"
+        new = "hello there. how are you?"
+        out = process_text(new, last, [seg(last)])
+        assert out == "you?"
+
+    def test_sentence_diff_last_sentence_changed(self):
+        # not a prefix, similar length, same sentence count, last differs
+        last = "hello there. how are hi"
+        new = "hello there. how are you?"
+        out = process_text(new, last, [seg(last)])
+        assert out == "how are you?"
+
+
+class TestStreamContext:
+    def test_block_base_and_monotonic_clamp(self):
+        ctx = StreamContext()
+        s, e = ctx.calculate_segment_time(0.5, 2.0)
+        assert (s, e) == (500, 2000)
+        # overlapping next segment gets clamped forward
+        s2, e2 = ctx.calculate_segment_time(1.0, 2.5)
+        assert s2 == 2000  # clamped to last end
+        assert e2 == 3500  # shifted by the same diff
+        ctx.next_block()
+        s3, e3 = ctx.calculate_segment_time(0.0, 1.0)
+        assert s3 == 5000  # block base 5 s
+
+
+def test_pcm16le_to_f32_scaling():
+    pcm = np.asarray([0, 16384, -32767], np.int16).tobytes()
+    x = pcm16le_to_f32(pcm)
+    np.testing.assert_allclose(x, [0.0, 16384 / 32767, -1.0], atol=1e-6)
+    # odd trailing byte dropped
+    assert pcm16le_to_f32(pcm + b"\x00").size == 3
+
+
+def test_stream_session_chunk_cadence():
+    engine = FakeAsrEngine()
+    session = StreamSession(engine, device_id="dev1", denoise=False, language="en")
+    # 2.5 s of audio: below the 5 s chunk threshold -> no events yet
+    half = base64.b64encode(np.zeros(40000, np.int16).tobytes())
+    assert session.feed(half) == []
+    assert len(session.buffer) == 80000
+    # another 2.5 s crosses CHUNK_BYTES -> one chunk processed
+    events = session.feed(half)
+    assert len(engine.calls) == 1
+    assert engine.calls[0].stream_mode
+    # overlap tail kept
+    assert len(session.buffer) == OVERLAP_BYTES
+    for ev in events:
+        assert ev.device_id == "dev1"
+        assert ev.end == 0
+
+
+def test_stream_session_finish_flushes():
+    engine = FakeAsrEngine()
+    session = StreamSession(engine, denoise=False, language="en")
+    session.feed(base64.b64encode((np.ones(8000) * 1000).astype(np.int16).tobytes()))
+    events = session.finish()
+    assert events[-1].end == 1
+    assert session.buffer == bytearray()
+
+
+def test_stream_session_bad_base64_ignored():
+    engine = FakeAsrEngine()
+    session = StreamSession(engine, denoise=False)
+    assert session.feed(b"!!!not-base64!!!") == []
+    assert len(session.buffer) == 0
