@@ -42,7 +42,6 @@ log = logging.getLogger(__name__)
 SAMPLE_RATE = MEL.SAMPLE_RATE
 # whisper temperature fallback schedule (openai + whisper.cpp)
 FALLBACK_TEMPS = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
-COMPRESSION_RATIO_THOLD = 2.4
 
 
 @dataclass
@@ -172,17 +171,23 @@ class WhisperEngine(AsrEngine):
 
     # --------------------------------------------------------------- decoding
 
-    def decode_windows(self, mels, language: str | None, task: str = "transcribe",
+    def decode_windows(self, mels, language, task: str = "transcribe",
                        with_timestamps: bool = True, suppress_non_speech: bool = False,
                        max_new_tokens: int | None = None, temperatures=None) -> list[dict]:
         """Decode a batch of mel windows with per-slot temperature fallback.
-        mels: (B, T_mel, n_mels). Returns per-slot dicts with tokens/text/
-        avg_logprob/no_speech_prob/compression_ratio/temperature."""
+        mels: (B, T_mel, n_mels); language: one code or a per-slot list (the
+        continuous batcher packs windows of different streams/languages into
+        one step). Returns per-slot dicts with tokens/text/avg_logprob/
+        no_speech_prob/compression_ratio/temperature."""
         mels = jnp.asarray(mels)
         B, T_mel = mels.shape[0], mels.shape[1]
-        lang = language or "en"
-        prompt_ids = self.tokenizer.sot_sequence(lang, task=task, timestamps=with_timestamps)
-        prompt = jnp.asarray(np.tile(np.asarray(prompt_ids, np.int32), (B, 1)))
+        langs = [language] * B if (language is None or isinstance(language, str)) else list(language)
+        prompt_rows = [
+            self.tokenizer.sot_sequence(l or "en", task=task, timestamps=with_timestamps)
+            for l in langs
+        ]
+        prompt_ids = prompt_rows[0]
+        prompt = jnp.asarray(np.asarray(prompt_rows, np.int32))
         max_new = max_new_tokens or self.config.max_decode_len // 2
         fn = self._window_fn(B, len(prompt_ids), T_mel, with_timestamps, max_new)
         suppress = self._suppress[suppress_non_speech]
@@ -205,7 +210,8 @@ class WhisperEngine(AsrEngine):
                     continue
                 text = self.tokenizer.decode(tokens[b, : n_sampled[b]])
                 cr = PP.compression_ratio(text)
-                needs_retry = (cr > COMPRESSION_RATIO_THOLD) or (avg_lp[b] < self.config.logprob_thold)
+                needs_retry = ((cr > self.config.compression_ratio_thold)
+                               or (avg_lp[b] < self.config.logprob_thold))
                 if needs_retry and temps[b] < schedule[-1]:
                     temps[b] = schedule[min(attempt + 1, len(schedule) - 1)]
                     retry[b] = True
@@ -236,23 +242,31 @@ class WhisperEngine(AsrEngine):
 
     # --------------------------------------------------------- long-form API
 
-    def transcribe_audio(self, audio: np.ndarray, params: AsrParams) -> TranscribeResult:
+    def transcribe_audio(self, audio: np.ndarray, params: AsrParams,
+                         decode_window=None) -> TranscribeResult:
         """Long-form transcription: 30 s windows advanced by decoded timestamp
         boundaries (openai-style seek), with silence skipping via
-        no_speech_thold (whisper.rs:167)."""
+        no_speech_thold (whisper.rs:167).
+
+        decode_window(mel, language, task, suppress_non_speech) -> dict lets
+        the continuous batcher route each window through the shared batched
+        step instead of a private B=1 program."""
         audio = np.asarray(audio, np.float32).reshape(-1)
         if audio.size == 0:
             return TranscribeResult(segments=[], full_text="")
         language = params.language or (
             self.detect_language(audio) if self.tokenizer.multilingual else "en")
+        if decode_window is None:
+            decode_window = (lambda mel, lang, task, sns:
+                             self.decode_windows(mel, lang, task=task,
+                                                 suppress_non_speech=sns)[0])
 
         seek = 0
         raw_segments: list[dict] = []
         while seek < audio.size:
             window = audio[seek : seek + MEL.N_SAMPLES]
             mel = self.compute_mel(window)  # pads to 3000 frames
-            res = self.decode_windows(mel, language, task=params.task,
-                                      suppress_non_speech=params.suppress_non_speech)[0]
+            res = decode_window(mel, language, params.task, params.suppress_non_speech)
             offset = seek / SAMPLE_RATE
             window_dur = min(window.size, MEL.N_SAMPLES) / SAMPLE_RATE
             if (res["no_speech_prob"] > self.config.no_speech_thold
@@ -299,27 +313,33 @@ class WhisperEngine(AsrEngine):
     def create_state(self) -> EngineState:
         return EngineState()
 
-    def transcribe_with_state(self, state: EngineState, audio, params: AsrParams) -> TranscribeResult:
+    def transcribe_with_state(self, state: EngineState, audio, params: AsrParams,
+                              decode_window=None) -> TranscribeResult:
         with state.lock:  # reference serializes per-stream (asr/mod.rs:60)
             if params.language is None and state.language:
                 params = AsrParams(**{**params.__dict__, "language": state.language})
             if params.stream_mode:
-                result = self._transcribe_stream_chunk(audio, params)
+                result = self._transcribe_stream_chunk(audio, params, decode_window)
             else:
-                result = self.transcribe_audio(np.asarray(audio, np.float32), params)
+                result = self.transcribe_audio(np.asarray(audio, np.float32), params,
+                                               decode_window)
             state.language = result.language or state.language
             return result
 
-    def _transcribe_stream_chunk(self, audio, params: AsrParams) -> TranscribeResult:
+    def _transcribe_stream_chunk(self, audio, params: AsrParams,
+                                 decode_window=None) -> TranscribeResult:
         """Streaming chunk (~5 s): truncated-encoder bucket, no seek loop."""
         audio = np.asarray(audio, np.float32).reshape(-1)
         n_frames = max(1, audio.size // MEL.HOP_LENGTH)
         bucket = self._mel_bucket(n_frames)
         mel = self.compute_mel(audio, pad_to=bucket)
         language = params.language or "en"
-        res = self.decode_windows(mel, language, task=params.task,
-                                  suppress_non_speech=params.suppress_non_speech,
-                                  max_new_tokens=96)[0]
+        if decode_window is None:
+            decode_window = (lambda mel, lang, task, sns:
+                             self.decode_windows(mel, lang, task=task,
+                                                 suppress_non_speech=sns,
+                                                 max_new_tokens=96)[0])
+        res = decode_window(mel, language, params.task, params.suppress_non_speech)
         window_dur = audio.size / SAMPLE_RATE
         segs, _ = D.segments_from_tokens(res["tokens"], res["n_sampled"], self.tokenizer)
         for s in segs:

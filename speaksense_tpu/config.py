@@ -53,6 +53,7 @@ class EngineConfig:
     temperature: float = 0.0
     temperature_increment: float = 0.2
     entropy_thold: float = 2.4      # compression-ratio proxy threshold
+    compression_ratio_thold: float = 2.4
     logprob_thold: float = -1.0
     no_speech_thold: float = 0.6
     max_initial_ts: float = 1.0

@@ -1,0 +1,146 @@
+"""BatchedEngine: cross-request window batching.
+
+Replaces the reference's per-stream serialization (one whisper.cpp state +
+mutex per gRPC stream, /root/reference/src/asr/whisper.rs:30-39 and
+src/grpc/handlers/asr.rs:164-169) with a shared batch loop:
+
+  callers (gRPC streams, REST task workers, CLI) submit mel windows ->
+  a collector thread drains the queue, groups compatible windows
+  (same mel bucket / task / timestamp mode), pads to the batch bucket,
+  and runs ONE compiled decode for all of them. Per-slot language prompts
+  and per-slot fallback temperatures mean heterogeneous requests still
+  share the program.
+
+Window-level batching is the right granularity for whisper serving: decode
+lengths are short (tens of tokens per 5-30 s window) and every window
+recomputes cross-KV anyway; token-level admission would add host-device
+sync per step for marginal gain. Throughput scales with batch occupancy —
+see bench.py (B=8 already exceeds 70x realtime on large-v3).
+
+BatchedEngine implements the AsrEngine interface, so it drops into the gRPC
+handler, the task processors, and the REST stack unchanged.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from speaksense_tpu.asr import AsrEngine, AsrParams, TranscribeResult
+from speaksense_tpu.asr.engine import WhisperEngine
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class _WindowJob:
+    mel: np.ndarray              # (T_mel, n_mels)
+    language: str | None
+    task: str
+    suppress_non_speech: bool
+    future: Future = field(default_factory=Future)
+
+    @property
+    def group_key(self):
+        return (self.mel.shape[0], self.task, self.suppress_non_speech)
+
+
+class BatchedEngine(AsrEngine):
+    def __init__(self, engine: WhisperEngine, max_batch: int | None = None,
+                 max_wait_ms: float = 5.0):
+        self.engine = engine
+        self.max_batch = max_batch or engine.config.max_batch_size
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[_WindowJob]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, name="batch-engine", daemon=True)
+        self._thread.start()
+        # telemetry
+        self.batches_run = 0
+        self.windows_run = 0
+
+    # ------------------------------------------------------------- batching
+
+    def submit_window(self, mel: np.ndarray, language: str | None, task: str,
+                      suppress_non_speech: bool) -> Future:
+        job = _WindowJob(np.asarray(mel), language, task, suppress_non_speech)
+        self._queue.put(job)
+        return job.future
+
+    def _decode_window(self, mel, language, task, suppress_non_speech) -> dict:
+        """decode_window hook for WhisperEngine.transcribe_audio: one window
+        through the shared batch."""
+        mel = np.asarray(mel)
+        if mel.ndim == 3:
+            mel = mel[0]
+        return self.submit_window(mel, language, task, suppress_non_speech).result()
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            # drain compatible jobs up to the bucket, waiting briefly for
+            # stragglers so concurrent streams coalesce
+            deadline = self.max_wait_s
+            leftovers: list[_WindowJob] = []
+            while len(batch) < self.max_batch:
+                try:
+                    job = self._queue.get(timeout=deadline)
+                except queue.Empty:
+                    break
+                if job.group_key == first.group_key:
+                    batch.append(job)
+                else:
+                    leftovers.append(job)
+            for job in leftovers:  # different bucket: requeue for next round
+                self._queue.put(job)
+            self._run_batch(batch)
+
+    def _run_batch(self, batch: list[_WindowJob]) -> None:
+        try:
+            mels = np.stack([j.mel for j in batch])
+            # pad to the full bucket so every occupancy shares one program
+            pad = self.max_batch - len(batch)
+            if pad > 0:
+                mels = np.concatenate([mels, np.zeros((pad,) + mels.shape[1:], mels.dtype)])
+            langs = [j.language for j in batch] + ["en"] * pad
+            results = self.engine.decode_windows(
+                mels, langs, task=batch[0].task,
+                suppress_non_speech=batch[0].suppress_non_speech)
+            self.batches_run += 1
+            self.windows_run += len(batch)
+            for job, res in zip(batch, results):
+                job.future.set_result(res)
+        except Exception as e:
+            log.error("batched decode failed: %s", e, exc_info=True)
+            for job in batch:
+                if not job.future.done():
+                    job.future.set_exception(e)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+    # ------------------------------------------------------- AsrEngine API
+
+    def create_state(self):
+        return self.engine.create_state()
+
+    def transcribe_with_state(self, state, audio, params: AsrParams) -> TranscribeResult:
+        return self.engine.transcribe_with_state(state, audio, params,
+                                                 decode_window=self._decode_window)
+
+    def transcribe_audio(self, audio, params: AsrParams) -> TranscribeResult:
+        return self.engine.transcribe_audio(np.asarray(audio, np.float32), params,
+                                            decode_window=self._decode_window)
+
+    def detect_language(self, audio) -> str:
+        return self.engine.detect_language(audio)

@@ -36,6 +36,8 @@ from speaksense_tpu.schedule.types import (
 
 log = logging.getLogger(__name__)
 
+CTX_KEY = web.AppKey("ctx", object)
+
 
 @dataclass
 class AppContext:
@@ -61,7 +63,7 @@ def _http_envelope(code: int, message: str, body, status=200):
 
 async def asr_transcribe(request: web.Request) -> web.Response:
     """Mirror of src/web/handlers/asr.rs:48-108."""
-    ctx: AppContext = request.app["ctx"]
+    ctx: AppContext = request.app[CTX_KEY]
     auth_header = request.headers.get("Authorization")
     try:
         await asyncio.to_thread(ctx.auth.verify_api_key, auth_header, Permission.TRANSCRIBE)
@@ -100,7 +102,7 @@ async def asr_transcribe(request: web.Request) -> web.Response:
 # ---------------------------------------------------------------- /auth
 
 async def create_api_key(request: web.Request) -> web.Response:
-    ctx: AppContext = request.app["ctx"]
+    ctx: AppContext = request.app[CTX_KEY]
     try:
         req = await request.json()
         permissions = [Permission(p) for p in req["permissions"]]
@@ -114,13 +116,13 @@ async def create_api_key(request: web.Request) -> web.Response:
 
 
 async def revoke_api_key(request: web.Request) -> web.Response:
-    ctx: AppContext = request.app["ctx"]
+    ctx: AppContext = request.app[CTX_KEY]
     await asyncio.to_thread(ctx.auth.revoke_api_key, request.match_info["api_key"])
     return _api_ok(None)
 
 
 async def get_key_stats(request: web.Request) -> web.Response:
-    ctx: AppContext = request.app["ctx"]
+    ctx: AppContext = request.app[CTX_KEY]
     try:
         stats = await asyncio.to_thread(ctx.auth.get_key_stats, request.match_info["api_key"])
     except KeyError as e:
@@ -129,7 +131,7 @@ async def get_key_stats(request: web.Request) -> web.Response:
 
 
 async def get_key_usage(request: web.Request) -> web.Response:
-    ctx: AppContext = request.app["ctx"]
+    ctx: AppContext = request.app[CTX_KEY]
     try:
         report = await asyncio.to_thread(
             ctx.auth.get_key_usage_report, request.match_info["api_key"])
@@ -141,7 +143,7 @@ async def get_key_usage(request: web.Request) -> web.Response:
 # ---------------------------------------------------------------- /schedule
 
 async def create_task(request: web.Request) -> web.Response:
-    ctx: AppContext = request.app["ctx"]
+    ctx: AppContext = request.app[CTX_KEY]
     try:
         config = TaskConfig.from_json(await request.json())
         task = await asyncio.to_thread(ctx.task_manager.create_task, config)
@@ -152,7 +154,7 @@ async def create_task(request: web.Request) -> web.Response:
 
 
 async def get_task(request: web.Request) -> web.Response:
-    ctx: AppContext = request.app["ctx"]
+    ctx: AppContext = request.app[CTX_KEY]
     task = await asyncio.to_thread(ctx.task_manager.get_task, request.match_info["task_id"])
     if task is None:
         return _api_err("Task not found", status=404)
@@ -160,7 +162,7 @@ async def get_task(request: web.Request) -> web.Response:
 
 
 async def get_task_status(request: web.Request) -> web.Response:
-    ctx: AppContext = request.app["ctx"]
+    ctx: AppContext = request.app[CTX_KEY]
     status = await asyncio.to_thread(
         ctx.task_manager.get_task_status, request.match_info["task_id"])
     if status is None:
@@ -169,7 +171,7 @@ async def get_task_status(request: web.Request) -> web.Response:
 
 
 async def update_task_priority(request: web.Request) -> web.Response:
-    ctx: AppContext = request.app["ctx"]
+    ctx: AppContext = request.app[CTX_KEY]
     try:
         req = await request.json()
         priority = TaskPriority(req["priority"])
@@ -183,7 +185,7 @@ async def update_task_priority(request: web.Request) -> web.Response:
 
 
 async def get_task_stats(request: web.Request) -> web.Response:
-    ctx: AppContext = request.app["ctx"]
+    ctx: AppContext = request.app[CTX_KEY]
     stats = await asyncio.to_thread(ctx.task_manager.get_task_stats)
     return _api_ok(dict(stats))
 
@@ -200,7 +202,7 @@ async def http_callback_echo(request: web.Request) -> web.Response:
 
 def build_app(ctx: AppContext) -> web.Application:
     app = web.Application()
-    app["ctx"] = ctx
+    app[CTX_KEY] = ctx
     app.router.add_post("/asr/transcribe", asr_transcribe)
     app.router.add_post("/auth/api-keys", create_api_key)
     app.router.add_delete("/auth/api-keys/{api_key}", revoke_api_key)
