@@ -171,9 +171,31 @@ class WhisperEngine(AsrEngine):
 
     # --------------------------------------------------------------- decoding
 
+    def _beam_fn(self, batch: int, prompt_len: int, t_mel: int, with_ts: bool,
+                 max_new: int, beam_size: int):
+        key = ("beam", batch, prompt_len, t_mel, with_ts, max_new, beam_size)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            from speaksense_tpu.models.beam import transcribe_window_beam
+
+            cfg = D.RuleConfig.from_tokenizer(
+                self.tokenizer, with_timestamps=with_ts,
+                max_initial_ts=self.config.max_initial_ts, max_new_tokens=max_new)
+            n_audio_ctx = min(t_mel // 2, self.dims.n_audio_ctx)
+
+            def run(params, suppress, mel_f32, prompt):
+                return transcribe_window_beam(params, self.dims, cfg, suppress, mel_f32,
+                                              prompt, beam_size=beam_size,
+                                              n_audio_ctx=n_audio_ctx)
+
+            fn = jax.jit(run)
+            self._jit_cache[key] = fn
+        return fn
+
     def decode_windows(self, mels, language, task: str = "transcribe",
                        with_timestamps: bool = True, suppress_non_speech: bool = False,
-                       max_new_tokens: int | None = None, temperatures=None) -> list[dict]:
+                       max_new_tokens: int | None = None, temperatures=None,
+                       beam_size: int | None = None) -> list[dict]:
         """Decode a batch of mel windows with per-slot temperature fallback.
         mels: (B, T_mel, n_mels); language: one code or a per-slot list (the
         continuous batcher packs windows of different streams/languages into
@@ -199,7 +221,13 @@ class WhisperEngine(AsrEngine):
 
         for attempt in range(len(schedule)):
             key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
-            out = fn(self.params, suppress, mels, prompt, jnp.asarray(temps), key)
+            if beam_size and beam_size > 1 and attempt == 0 and not temps.any():
+                # beam search at t=0 (whisper falls back to sampling at t>0)
+                bfn = self._beam_fn(B, len(prompt_ids), T_mel, with_timestamps,
+                                    max_new, beam_size)
+                out = bfn(self.params, suppress, mels, prompt)
+            else:
+                out = fn(self.params, suppress, mels, prompt, jnp.asarray(temps), key)
             tokens = np.asarray(out["tokens"])
             n_sampled = np.asarray(out["n_sampled"])
             avg_lp = np.asarray(out["avg_logprob"])

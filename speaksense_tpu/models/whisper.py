@@ -216,6 +216,33 @@ def _attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array | None)
     return jnp.einsum("...hts,...hsd->...htd", weights, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def _flash_attention_full(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Unmasked self-attention via the Pallas TPU flash kernel: (B, H, T, Dh),
+    O(T) memory instead of materializing (B, H, T, T) logits in HBM — the
+    encoder's T=1500 logits would be ~360 MB/window in f32. Sequence is
+    zero-padded to a 128-multiple; padded KEYS are masked via segment ids
+    (padded query rows are sliced away)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention, SegmentIds,
+    )
+
+    B, H, T, Dh = q.shape
+    Tp = ((T + 127) // 128) * 128
+    pad = Tp - T
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        ids = jnp.broadcast_to(
+            jnp.where(jnp.arange(Tp) < T, 1, 0)[None, :].astype(jnp.int32), (B, Tp))
+        seg = SegmentIds(q=ids, kv=ids)
+    else:
+        seg = None
+    out = flash_attention(q, k, v, segment_ids=seg, causal=False,
+                          sm_scale=q.shape[-1] ** -0.5)
+    return out[:, :, :T, :]
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
@@ -231,13 +258,19 @@ def _conv1d(x: jax.Array, p: Params, stride: int) -> jax.Array:
     return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
 
 
-def encode(params: Params, dims: WhisperDims, mel: jax.Array, n_ctx_out: int | None = None) -> jax.Array:
+def encode(params: Params, dims: WhisperDims, mel: jax.Array, n_ctx_out: int | None = None,
+           flash: bool | None = None) -> jax.Array:
     """mel (B, T_mel, n_mels) -> encoder states (B, n_ctx_out, d).
 
     n_ctx_out defaults to T_mel // 2. Passing fewer mel frames than 3000
     implements whisper.cpp's `audio_ctx` compute-saving mode
     (/root/reference/src/asr/whisper.rs:144,68).
+
+    flash=None auto-selects the Pallas flash-attention kernel on TPU
+    (O(T) memory; XLA attention elsewhere).
     """
+    if flash is None:
+        flash = jax.default_backend() == "tpu"
     p = params["encoder"]
     x = mel
     x = jax.nn.gelu(_conv1d(x, p["conv1"], 1), approximate=False)
@@ -252,7 +285,11 @@ def encode(params: Params, dims: WhisperDims, mel: jax.Array, n_ctx_out: int | N
         q = _split_heads(_linear(h, bp["q"]), n_head)
         k = _split_heads(_linear(h, bp["k"]), n_head)
         v = _split_heads(_linear(h, bp["v"]), n_head)
-        x = x + _linear(_merge_heads(_attention(q, k, v, None)), bp["o"])
+        if flash:
+            attn = _flash_attention_full(q, k, v)
+        else:
+            attn = _attention(q, k, v, None)
+        x = x + _linear(_merge_heads(attn), bp["o"])
         h = _ln(x, bp["mlp_ln"])
         x = x + _linear(jax.nn.gelu(_linear(h, bp["fc1"]), approximate=False), bp["fc2"])
         return x, None

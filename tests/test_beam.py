@@ -1,0 +1,75 @@
+"""Beam-search decoding tests (tiny random model, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speaksense_tpu.models import whisper as W
+from speaksense_tpu.models import decode as D
+from speaksense_tpu.models.beam import beam_decode, transcribe_window_beam
+from speaksense_tpu.models.tokenizer import Tokenizer
+
+TOK = Tokenizer.synthetic(51865)
+CFG = D.RuleConfig.from_tokenizer(TOK, max_new_tokens=16)
+SUPPRESS = jnp.asarray(TOK.suppress_mask())
+
+DIMS = W.WhisperDims(
+    n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
+    n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+    n_text_head=4, n_text_layer=2)
+
+
+@pytest.fixture(scope="module")
+def setup(rng=None):
+    params = W.init_params(DIMS, jax.random.PRNGKey(3))
+    r = np.random.default_rng(0)
+    mel = jnp.asarray(r.standard_normal((2, 3000, DIMS.n_mels)), jnp.float32)
+    enc = W.encode(params, DIMS, mel)
+    prompt = jnp.asarray([TOK.sot_sequence("en")] * 2, jnp.int32)
+    return params, enc, prompt, mel
+
+
+def test_beam_decode_shapes_and_rules(setup):
+    params, enc, prompt, _ = setup
+    out = beam_decode(params, DIMS, CFG, SUPPRESS, enc, prompt, beam_size=3)
+    tokens = np.asarray(out["tokens"])
+    n = np.asarray(out["n_sampled"])
+    assert tokens.shape == (2, CFG.max_new_tokens)
+    assert (n >= 0).all() and (n <= CFG.max_new_tokens).all()
+    for b in range(2):
+        if n[b] > 0:
+            assert tokens[b, 0] >= TOK.ts_begin  # initial-timestamp rule held
+    assert np.isfinite(np.asarray(out["avg_logprob"])).all()
+    ns = np.asarray(out["no_speech_prob"])
+    assert ((ns >= 0) & (ns <= 1)).all()
+
+
+def test_beam_deterministic(setup):
+    params, enc, prompt, _ = setup
+    o1 = beam_decode(params, DIMS, CFG, SUPPRESS, enc, prompt, beam_size=3)
+    o2 = beam_decode(params, DIMS, CFG, SUPPRESS, enc, prompt, beam_size=3)
+    np.testing.assert_array_equal(np.asarray(o1["tokens"]), np.asarray(o2["tokens"]))
+
+
+def test_beam_one_equals_greedy(setup):
+    """beam_size=1 must reproduce the greedy trajectory (argmax of the same
+    filtered logprobs each step). Beam>1 is NOT guaranteed to beat greedy on
+    the avg-normalized score — it optimizes sum-logprob and may prune the
+    greedy path — so that is deliberately not asserted."""
+    params, enc, prompt, mel = setup
+    beam = beam_decode(params, DIMS, CFG, SUPPRESS, enc, prompt, beam_size=1)
+    greedy = D.transcribe_window(params, DIMS, CFG, SUPPRESS, mel, prompt,
+                                 jnp.zeros((2,), jnp.float32), jax.random.PRNGKey(0))
+    bt, gt = np.asarray(beam["tokens"]), np.asarray(greedy["tokens"])
+    bn, gn = np.asarray(beam["n_sampled"]), np.asarray(greedy["n_sampled"])
+    for b in range(2):
+        n = min(bn[b], gn[b], 8)  # compare the stable prefix
+        np.testing.assert_array_equal(bt[b, :n], gt[b, :n])
+
+
+def test_transcribe_window_beam(setup):
+    params, _, prompt, mel = setup
+    out = transcribe_window_beam(params, DIMS, CFG, SUPPRESS, mel, prompt, beam_size=2)
+    assert np.asarray(out["tokens"]).shape == (2, CFG.max_new_tokens)
