@@ -52,8 +52,21 @@ def _f16(x: np.ndarray) -> np.ndarray:
     return x.astype(np.float16)
 
 
-def dequantize(data: bytes, ttype: int, n: int) -> np.ndarray:
-    """Decode `n` elements of ggml type `ttype` from raw bytes -> f32."""
+def dequantize(data: bytes, ttype: int, n: int, use_native: bool = True) -> np.ndarray:
+    """Decode `n` elements of ggml type `ttype` from raw bytes -> f32.
+
+    Prefers the multithreaded C++ kernels (native/ggml_kernels.cc) for large
+    tensors; the vectorized numpy codecs below are the reference
+    implementation and the fallback."""
+    if use_native and n >= (1 << 16):
+        try:
+            from speaksense_tpu.native import dequantize_native
+
+            out = dequantize_native(data, ttype, n)
+            if out is not None:
+                return out
+        except Exception:  # pragma: no cover - any native issue falls back
+            pass
     if ttype == F32:
         return np.frombuffer(data, "<f4", count=n).copy()
     if ttype == F16:
