@@ -35,10 +35,14 @@ class TranscribeSegment:
     speaker_id: int = 0
     start: float = 0.0   # seconds
     end: float = 0.0     # seconds
+    words: list | None = None  # [{word,start,end}] when word_timestamps on
 
     def to_dict(self) -> dict:
-        return {"text": self.text, "speaker_id": self.speaker_id,
-                "start": self.start, "end": self.end}
+        d = {"text": self.text, "speaker_id": self.speaker_id,
+             "start": self.start, "end": self.end}
+        if self.words is not None:
+            d["words"] = self.words
+        return d
 
 
 @dataclass

@@ -36,6 +36,7 @@ from speaksense_tpu.config import EngineConfig
 from speaksense_tpu.models import whisper as W
 from speaksense_tpu.models import decode as D
 from speaksense_tpu.models.tokenizer import Tokenizer
+from speaksense_tpu.utils.metrics import REGISTRY as METRICS
 
 log = logging.getLogger(__name__)
 
@@ -85,16 +86,36 @@ class WhisperEngine(AsrEngine):
     # ------------------------------------------------------------------ load
 
     @classmethod
-    def from_ggml(cls, path: str, config: EngineConfig | None = None) -> "WhisperEngine":
+    def from_ggml(cls, path: str, config: EngineConfig | None = None,
+                  use_cache: bool = True) -> "WhisperEngine":
+        import dataclasses
+
+        from speaksense_tpu.ckpt import cache as CK
         from speaksense_tpu.ckpt.ggml import load_ggml, params_from_ggml
 
+        config = config or EngineConfig()
         t0 = time.time()
-        model = load_ggml(path)
-        params = params_from_ggml(model)
-        tok = Tokenizer.from_vocab(model.vocab)
-        filters = model.filters if model.filters.size else None
-        log.info("loaded ggml model %s in %.1fs (dims=%s)", path, time.time() - t0, model.dims)
-        return cls(params, model.dims, tok, mel_filters=filters, config=config, name=path)
+        cached = CK.load_cached(path, config.weight_cache_dir) if use_cache else None
+        if cached is not None:
+            params, meta = cached
+            dims = W.WhisperDims(**meta["dims"])
+            tok = Tokenizer.from_vocab(meta["vocab"])
+            filters = meta["filters"]
+            log.info("loaded cached weights for %s in %.1fs", path, time.time() - t0)
+        else:
+            model = load_ggml(path)
+            params = params_from_ggml(model)
+            dims, tok = model.dims, Tokenizer.from_vocab(model.vocab)
+            filters = model.filters if model.filters.size else None
+            log.info("loaded ggml model %s in %.1fs (dims=%s)", path, time.time() - t0, dims)
+            if use_cache:
+                try:
+                    CK.save_cached(path, config.weight_cache_dir, params,
+                                   dataclasses.asdict(dims), model.vocab, filters,
+                                   ftype=model.ftype)
+                except OSError as e:
+                    log.warning("weight cache write failed: %s", e)
+        return cls(params, dims, tok, mel_filters=filters, config=config, name=str(path))
 
     @classmethod
     def from_random(cls, model: str = "tiny", config: EngineConfig | None = None,
@@ -218,6 +239,8 @@ class WhisperEngine(AsrEngine):
         schedule = [t for t in FALLBACK_TEMPS]
         results: list[dict | None] = [None] * B
         pending = np.ones((B,), bool)
+        METRICS.inc("asr_windows_total", B)
+        t_start = time.perf_counter()
 
         for attempt in range(len(schedule)):
             key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
@@ -243,6 +266,7 @@ class WhisperEngine(AsrEngine):
                 if needs_retry and temps[b] < schedule[-1]:
                     temps[b] = schedule[min(attempt + 1, len(schedule) - 1)]
                     retry[b] = True
+                    METRICS.inc("asr_fallback_retries_total")
                     continue
                 results[b] = dict(
                     tokens=tokens[b], n_sampled=int(n_sampled[b]), text=text,
@@ -260,7 +284,14 @@ class WhisperEngine(AsrEngine):
                                   avg_logprob=float(avg_lp[b]), no_speech_prob=float(ns_prob[b]),
                                   compression_ratio=PP.compression_ratio(text),
                                   temperature=float(temps[b]))
+        METRICS.observe("asr_decode_window_seconds", time.perf_counter() - t_start)
         return results
+
+    def profile_trace(self, log_dir: str):
+        """Context manager: capture a JAX profiler trace of everything inside
+        (SURVEY.md §5: 'add per-stage latency metrics + JAX profiler traces').
+        View with TensorBoard or xprof."""
+        return jax.profiler.trace(log_dir)
 
     def detect_language(self, audio: np.ndarray) -> str:
         mel = self.compute_mel(audio[: MEL.N_SAMPLES])
@@ -306,12 +337,33 @@ class WhisperEngine(AsrEngine):
             for s in segs:
                 s["end"] = min(s["end"], offset + window_dur)
                 s["start"] = min(s["start"], s["end"])
+            if params.word_timestamps and segs:
+                self._attach_words(segs, res, mel, language, offset, window_dur)
             raw_segments.extend(segs)
             if advance is not None and advance > 0.5:
                 seek += int(advance * SAMPLE_RATE)
             else:
                 seek += MEL.N_SAMPLES
         return self._postprocess(raw_segments, params, language)
+
+    def _attach_words(self, segs: list[dict], res: dict, mel, language: str | None,
+                      offset: float, window_dur: float) -> None:
+        """Word-level timestamps via cross-attention DTW (models/align.py);
+        words are distributed to segments by time overlap."""
+        from speaksense_tpu.models.align import word_timestamps
+
+        enc_key = ("enc_align", tuple(mel.shape))
+        enc_fn = self._jit_cache.get(enc_key)
+        if enc_fn is None:
+            enc_fn = jax.jit(lambda p, m: W.encode(p, self.dims, m))
+            self._jit_cache[enc_key] = enc_fn
+        enc = enc_fn(self.params, jnp.asarray(mel))
+        tokens = [int(t) for t in res["tokens"][: res["n_sampled"]]]
+        words = word_timestamps(self.params, self.dims, self.tokenizer, tokens, enc,
+                                language=language, audio_seconds=window_dur,
+                                time_offset=offset)
+        for s in segs:
+            s["words"] = [w for w in words if s["start"] - 0.02 <= w["start"] < s["end"] + 0.02]
 
     def _postprocess(self, raw_segments: list[dict], params: AsrParams,
                      language: str | None) -> TranscribeResult:
@@ -327,7 +379,8 @@ class WhisperEngine(AsrEngine):
                 continue
             text = PP.add_punctuation(s["text"]) if language == "zh" else s["text"]
             segments.append(TranscribeSegment(text=text, speaker_id=speaker,
-                                              start=s["start"], end=s["end"]))
+                                              start=s["start"], end=s["end"],
+                                              words=s.get("words")))
         if params.stream_mode and segments:
             # reference keeps only the final segment in stream mode
             # (whisper.rs:107-117)

@@ -270,7 +270,8 @@ def encode(params: Params, dims: WhisperDims, mel: jax.Array, n_ctx_out: int | N
     (O(T) memory; XLA attention elsewhere).
     """
     if flash is None:
-        flash = jax.default_backend() == "tpu"
+        # axon is the tunneled-TPU PJRT platform used in some environments
+        flash = jax.default_backend() in ("tpu", "axon")
     p = params["encoder"]
     x = mel
     x = jax.nn.gelu(_conv1d(x, p["conv1"], 1), approximate=False)

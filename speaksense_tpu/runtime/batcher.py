@@ -117,6 +117,10 @@ class BatchedEngine(AsrEngine):
                 suppress_non_speech=batch[0].suppress_non_speech)
             self.batches_run += 1
             self.windows_run += len(batch)
+            from speaksense_tpu.utils.metrics import REGISTRY as METRICS
+
+            METRICS.inc("asr_batches_total")
+            METRICS.set_gauge("asr_batch_occupancy", len(batch) / self.max_batch)
             for job, res in zip(batch, results):
                 job.future.set_result(res)
         except Exception as e:

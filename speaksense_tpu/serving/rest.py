@@ -198,6 +198,25 @@ async def http_callback_echo(request: web.Request) -> web.Response:
     return web.json_response({})
 
 
+# ------------------------------------------------------- /metrics, /health
+# (additions over the reference, which has neither — SURVEY.md §5)
+
+async def metrics_endpoint(request: web.Request) -> web.Response:
+    from speaksense_tpu.utils.metrics import REGISTRY
+
+    return web.Response(text=REGISTRY.render_prometheus(),
+                        content_type="text/plain")
+
+
+async def health_endpoint(request: web.Request) -> web.Response:
+    ctx: AppContext = request.app[CTX_KEY]
+    try:
+        await asyncio.to_thread(ctx.task_manager.get_task_stats)
+        return web.json_response({"status": "ok"})
+    except Exception as e:
+        return web.json_response({"status": "unhealthy", "error": str(e)}, status=503)
+
+
 # ---------------------------------------------------------------- app
 
 def build_app(ctx: AppContext) -> web.Application:
@@ -215,6 +234,8 @@ def build_app(ctx: AppContext) -> web.Application:
     app.router.add_get("/schedule/tasks/{task_id}/status", get_task_status)
     app.router.add_post("/schedule/tasks/{task_id}/priority", update_task_priority)
     app.router.add_post("/callback/http", http_callback_echo)
+    app.router.add_get("/metrics", metrics_endpoint)
+    app.router.add_get("/health", health_endpoint)
     return app
 
 

@@ -78,3 +78,14 @@ def test_fake_engine_deterministic(rng):
     assert r1.segments[1].end == pytest.approx(7.0)
     other = fake.transcribe(audio * 0.5, AsrParams())
     assert other.full_text != r1.full_text
+
+
+def test_word_timestamps_attached(engine, rng):
+    audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    res = engine.transcribe_audio(
+        audio, AsrParams(language="en", word_timestamps=True))
+    for s in res.segments:
+        assert s.words is not None
+        for w in s.words:
+            assert set(w) == {"word", "start", "end"}
+            assert w["start"] <= w["end"]
