@@ -77,8 +77,9 @@ class WhisperEngine(AsrEngine):
                             if mel_filters is not None else MEL.mel_filter_bank(dims.n_mels))
         # suppression mask variants (device-resident)
         self._suppress = {
-            True: jnp.asarray(tokenizer.suppress_mask(suppress_non_speech=True)),
-            False: jnp.asarray(tokenizer.suppress_mask(suppress_non_speech=False)),
+            (sns, turn): jnp.asarray(tokenizer.suppress_mask(
+                suppress_non_speech=sns, allow_speaker_turn=turn))
+            for sns in (True, False) for turn in (True, False)
         }
         self._jit_cache: dict = {}
         self._rng = np.random.default_rng(0)
@@ -216,7 +217,8 @@ class WhisperEngine(AsrEngine):
     def decode_windows(self, mels, language, task: str = "transcribe",
                        with_timestamps: bool = True, suppress_non_speech: bool = False,
                        max_new_tokens: int | None = None, temperatures=None,
-                       beam_size: int | None = None) -> list[dict]:
+                       beam_size: int | None = None,
+                       speaker_diarization: bool = False) -> list[dict]:
         """Decode a batch of mel windows with per-slot temperature fallback.
         mels: (B, T_mel, n_mels); language: one code or a per-slot list (the
         continuous batcher packs windows of different streams/languages into
@@ -233,7 +235,7 @@ class WhisperEngine(AsrEngine):
         prompt = jnp.asarray(np.asarray(prompt_rows, np.int32))
         max_new = max_new_tokens or self.config.max_decode_len // 2
         fn = self._window_fn(B, len(prompt_ids), T_mel, with_timestamps, max_new)
-        suppress = self._suppress[suppress_non_speech]
+        suppress = self._suppress[(suppress_non_speech, speaker_diarization)]
 
         temps = np.zeros((B,), np.float32) if temperatures is None else np.asarray(temperatures, np.float32)
         schedule = [t for t in FALLBACK_TEMPS]
@@ -317,8 +319,9 @@ class WhisperEngine(AsrEngine):
             self.detect_language(audio) if self.tokenizer.multilingual else "en")
         if decode_window is None:
             decode_window = (lambda mel, lang, task, sns:
-                             self.decode_windows(mel, lang, task=task,
-                                                 suppress_non_speech=sns)[0])
+                             self.decode_windows(
+                                 mel, lang, task=task, suppress_non_speech=sns,
+                                 speaker_diarization=params.speaker_diarization)[0])
 
         seek = 0
         raw_segments: list[dict] = []
@@ -371,7 +374,11 @@ class WhisperEngine(AsrEngine):
         punctuation heuristic, stream-mode last-segment-only collapse."""
         segments: list[TranscribeSegment] = []
         speaker = 0
+        prev_turn = False
         for s in raw_segments:
+            if prev_turn and params.speaker_diarization:
+                speaker += 1  # reference whisper.rs:95-97
+            prev_turn = bool(s.get("speaker_turn_next"))
             if not s["text"].strip():
                 continue
             if PP.is_promotional_text(s["text"]):
@@ -417,9 +424,10 @@ class WhisperEngine(AsrEngine):
         language = params.language or "en"
         if decode_window is None:
             decode_window = (lambda mel, lang, task, sns:
-                             self.decode_windows(mel, lang, task=task,
-                                                 suppress_non_speech=sns,
-                                                 max_new_tokens=96)[0])
+                             self.decode_windows(
+                                 mel, lang, task=task, suppress_non_speech=sns,
+                                 speaker_diarization=params.speaker_diarization,
+                                 max_new_tokens=96)[0])
         res = decode_window(mel, language, params.task, params.suppress_non_speech)
         window_dur = audio.size / SAMPLE_RATE
         segs, _ = D.segments_from_tokens(res["tokens"], res["n_sampled"], self.tokenizer)

@@ -280,9 +280,14 @@ def _make_segment(ids: list[int], tok: Tokenizer, offset: float) -> dict:
     text_ids = [t for t in ids if t < tok.eot]
     start = tok.timestamp_seconds(ts[0]) if ts else 0.0
     end = tok.timestamp_seconds(ts[-1]) if len(ts) >= 2 else (start + 30.0 if ts else 30.0)
+    turn = tok.speaker_turn_token()
     return {
         "start": offset + start,
         "end": offset + end,
         "text": tok.decode(text_ids),
         "tokens": text_ids,
+        # tinydiarize: a segment containing the turn marker flags that the
+        # NEXT segment has a new speaker (whisper.cpp's speaker_turn_next,
+        # consumed by the reference at whisper.rs:95-97)
+        "speaker_turn_next": turn is not None and turn in ids,
     }

@@ -198,6 +198,21 @@ class Tokenizer:
 
     # -- suppression sets ---------------------------------------------------
 
+    def speaker_turn_token(self) -> int | None:
+        """tinydiarize speaker-turn marker if this vocab carries one
+        (whisper.cpp tdrz models; the reference enables it via
+        set_tdrz_enable at whisper.rs:136-139)."""
+        cached = self.__dict__.get("_solm_cache", -2)
+        if cached != -2:
+            return cached
+        out = None
+        for i, piece in enumerate(self.vocab):
+            if piece in (b"[_SOLM_]", b"<|speakerturn|>", b" [_SOLM_]"):
+                out = i
+                break
+        self.__dict__["_solm_cache"] = out
+        return out
+
     def non_speech_tokens(self) -> list[int]:
         idx = self._piece_index()
         out = set()
@@ -215,10 +230,12 @@ class Tokenizer:
     def blank_token(self) -> int | None:
         return self._piece_index().get(b" ")
 
-    def suppress_mask(self, suppress_non_speech: bool = True) -> np.ndarray:
+    def suppress_mask(self, suppress_non_speech: bool = True,
+                      allow_speaker_turn: bool = False) -> np.ndarray:
         """(n_vocab,) bool — True where sampling is forbidden always:
         specials that must never be sampled mid-transcription, plus the
-        non-speech set when enabled."""
+        non-speech set when enabled. allow_speaker_turn unmasks the tdrz
+        marker for diarization-enabled decoding."""
         m = np.zeros((self.n_vocab,), bool)
         for t in (self.sot, self.sot_lm, self.sot_prev, self.no_speech, self.translate,
                   self.transcribe):
@@ -226,4 +243,8 @@ class Tokenizer:
         m[self.lang_base : self.lang_base + self.num_languages] = True
         if suppress_non_speech:
             m[self.non_speech_tokens()] = True
+        if allow_speaker_turn:
+            turn = self.speaker_turn_token()
+            if turn is not None:
+                m[turn] = False
         return m

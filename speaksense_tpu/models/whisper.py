@@ -270,8 +270,15 @@ def encode(params: Params, dims: WhisperDims, mel: jax.Array, n_ctx_out: int | N
     (O(T) memory; XLA attention elsewhere).
     """
     if flash is None:
-        # axon is the tunneled-TPU PJRT platform used in some environments
-        flash = jax.default_backend() in ("tpu", "axon")
+        # flash kernels only exist on TPU backends (axon = tunneled TPU);
+        # SPEAKSENSE_FLASH=0 force-disables, =1 force-enables elsewhere.
+        import os
+
+        env = os.environ.get("SPEAKSENSE_FLASH")
+        if env is not None:
+            flash = env not in ("0", "false", "")
+        else:
+            flash = jax.default_backend() in ("tpu", "axon")
     p = params["encoder"]
     x = mel
     x = jax.nn.gelu(_conv1d(x, p["conv1"], 1), approximate=False)

@@ -79,3 +79,16 @@ def test_suppress_mask():
     assert not m[tok.eot]
     assert not m[tok.ts_begin]
     assert not m[100]  # ordinary text token
+
+
+def test_speaker_turn_token_detection():
+    from speaksense_tpu.models.tokenizer import Tokenizer
+
+    vocab = [b"a"] * 100
+    vocab[50] = b"[_SOLM_]"
+    tok = Tokenizer(vocab=vocab, n_vocab=51865, multilingual=True, num_languages=99)
+    assert tok.speaker_turn_token() == 50
+    m = tok.suppress_mask(allow_speaker_turn=True)
+    assert not m[50]
+    plain = Tokenizer.synthetic(51865)
+    assert plain.speaker_turn_token() is None
