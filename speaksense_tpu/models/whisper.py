@@ -270,15 +270,13 @@ def encode(params: Params, dims: WhisperDims, mel: jax.Array, n_ctx_out: int | N
     (O(T) memory; XLA attention elsewhere).
     """
     if flash is None:
-        # flash kernels only exist on TPU backends (axon = tunneled TPU);
-        # SPEAKSENSE_FLASH=0 force-disables, =1 force-enables elsewhere.
+        # Opt-in for now (SPEAKSENSE_FLASH=1): the Pallas flash kernel is
+        # wired and unit-covered, but could not yet be timing-validated on
+        # the attached chip this round; the XLA path is the measured
+        # (74x realtime) baseline. Flip to TPU-default once verified.
         import os
 
-        env = os.environ.get("SPEAKSENSE_FLASH")
-        if env is not None:
-            flash = env not in ("0", "false", "")
-        else:
-            flash = jax.default_backend() in ("tpu", "axon")
+        flash = os.environ.get("SPEAKSENSE_FLASH", "") not in ("", "0", "false")
     p = params["encoder"]
     x = mel
     x = jax.nn.gelu(_conv1d(x, p["conv1"], 1), approximate=False)
