@@ -154,9 +154,10 @@ class WhisperEngine(AsrEngine):
                 max_initial_ts=self.config.max_initial_ts, max_new_tokens=max_new)
             n_audio_ctx = min(t_mel // 2, self.dims.n_audio_ctx)
 
-            def run(params, suppress, mel_f32, prompt, temps, key):
+            def run(params, suppress, mel_f32, prompt, prompt_len, sot_index, temps, key):
                 return D.transcribe_window(params, self.dims, cfg, suppress, mel_f32,
-                                           prompt, temps, key, n_audio_ctx=n_audio_ctx)
+                                           prompt, temps, key, sot_index=sot_index,
+                                           n_audio_ctx=n_audio_ctx, prompt_len=prompt_len)
 
             fn = jax.jit(run)
             self._jit_cache[key] = fn
@@ -218,7 +219,8 @@ class WhisperEngine(AsrEngine):
                        with_timestamps: bool = True, suppress_non_speech: bool = False,
                        max_new_tokens: int | None = None, temperatures=None,
                        beam_size: int | None = None,
-                       speaker_diarization: bool = False) -> list[dict]:
+                       speaker_diarization: bool = False,
+                       context_tokens: list | None = None) -> list[dict]:
         """Decode a batch of mel windows with per-slot temperature fallback.
         mels: (B, T_mel, n_mels); language: one code or a per-slot list (the
         continuous batcher packs windows of different streams/languages into
@@ -227,14 +229,34 @@ class WhisperEngine(AsrEngine):
         mels = jnp.asarray(mels)
         B, T_mel = mels.shape[0], mels.shape[1]
         langs = [language] * B if (language is None or isinstance(language, str)) else list(language)
-        prompt_rows = [
+        sot_rows = [
             self.tokenizer.sot_sequence(l or "en", task=task, timestamps=with_timestamps)
             for l in langs
         ]
-        prompt_ids = prompt_rows[0]
-        prompt = jnp.asarray(np.asarray(prompt_rows, np.int32))
+        prompt_ids = sot_rows[0]
+        # conditioning: [<|startofprev|>] + context + sot_seq, right-padded to
+        # a bucket so one compiled program serves every context length
+        # (whisper.cpp's no_context=false mode; openai condition_on_previous_text)
+        ctx = context_tokens if context_tokens is not None else [[] for _ in range(B)]
+        max_ctx = self.dims.n_text_ctx // 2 - 1 - max(len(r) for r in sot_rows)
+        rows, lens, sots = [], [], []
+        for i in range(B):
+            c = list(ctx[i] or [])[-max_ctx:]
+            row = ([self.tokenizer.sot_prev] + c if c else []) + sot_rows[i]
+            rows.append(row)
+            lens.append(len(row))
+            sots.append(len(row) - len(sot_rows[i]))
+        P = max(lens)
+        if P > len(prompt_ids):  # bucket to multiples of 32 past the base size
+            P = ((P + 31) // 32) * 32
+        prompt_np = np.full((B, P), self.tokenizer.eot, np.int32)
+        for i, row in enumerate(rows):
+            prompt_np[i, : len(row)] = row
+        prompt = jnp.asarray(prompt_np)
+        prompt_len = jnp.asarray(np.asarray(lens, np.int32))
+        sot_index = jnp.asarray(np.asarray(sots, np.int32))
         max_new = max_new_tokens or self.config.max_decode_len // 2
-        fn = self._window_fn(B, len(prompt_ids), T_mel, with_timestamps, max_new)
+        fn = self._window_fn(B, P, T_mel, with_timestamps, max_new)
         suppress = self._suppress[(suppress_non_speech, speaker_diarization)]
 
         temps = np.zeros((B,), np.float32) if temperatures is None else np.asarray(temperatures, np.float32)
@@ -246,13 +268,15 @@ class WhisperEngine(AsrEngine):
 
         for attempt in range(len(schedule)):
             key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
-            if beam_size and beam_size > 1 and attempt == 0 and not temps.any():
+            if (beam_size and beam_size > 1 and attempt == 0 and not temps.any()
+                    and P == len(prompt_ids)):  # beam+context lands later
                 # beam search at t=0 (whisper falls back to sampling at t>0)
                 bfn = self._beam_fn(B, len(prompt_ids), T_mel, with_timestamps,
                                     max_new, beam_size)
                 out = bfn(self.params, suppress, mels, prompt)
             else:
-                out = fn(self.params, suppress, mels, prompt, jnp.asarray(temps), key)
+                out = fn(self.params, suppress, mels, prompt, prompt_len, sot_index,
+                         jnp.asarray(temps), key)
             tokens = np.asarray(out["tokens"])
             n_sampled = np.asarray(out["n_sampled"])
             avg_lp = np.asarray(out["avg_logprob"])
@@ -318,23 +342,38 @@ class WhisperEngine(AsrEngine):
         language = params.language or (
             self.detect_language(audio) if self.tokenizer.multilingual else "en")
         if decode_window is None:
-            decode_window = (lambda mel, lang, task, sns:
+            decode_window = (lambda mel, lang, task, sns, context=None:
                              self.decode_windows(
                                  mel, lang, task=task, suppress_non_speech=sns,
-                                 speaker_diarization=params.speaker_diarization)[0])
+                                 speaker_diarization=params.speaker_diarization,
+                                 context_tokens=[context] if context else None)[0])
 
         seek = 0
         raw_segments: list[dict] = []
+        context: list[int] = []
         while seek < audio.size:
             window = audio[seek : seek + MEL.N_SAMPLES]
             mel = self.compute_mel(window)  # pads to 3000 frames
-            res = decode_window(mel, language, params.task, params.suppress_non_speech)
+            ctx = context if params.condition_on_previous_text else None
+            try:
+                res = decode_window(mel, language, params.task,
+                                    params.suppress_non_speech, context=ctx)
+            except TypeError:  # hooks without context support
+                res = decode_window(mel, language, params.task, params.suppress_non_speech)
             offset = seek / SAMPLE_RATE
             window_dur = min(window.size, MEL.N_SAMPLES) / SAMPLE_RATE
             if (res["no_speech_prob"] > self.config.no_speech_thold
                     and res["avg_logprob"] < self.config.logprob_thold):
                 seek += MEL.N_SAMPLES  # silent window
                 continue
+            # context for the next window: text tokens of this one; reset
+            # after high-temperature fallbacks (openai prompt_reset rule)
+            if res.get("temperature", 0.0) > 0.5:
+                context = []
+            else:
+                context = context + [int(t) for t in res["tokens"][: res["n_sampled"]]
+                                     if t < self.tokenizer.eot]
+                context = context[-(self.dims.n_text_ctx // 2 - 8):]
             segs, advance = D.segments_from_tokens(
                 res["tokens"], res["n_sampled"], self.tokenizer, window_offset=offset)
             for s in segs:

@@ -28,8 +28,11 @@ def build_engine(config: Config, fake: bool = False):
         log.warning("using FakeAsrEngine (no model loaded)")
         return FakeAsrEngine()
     from speaksense_tpu.asr.engine import WhisperEngine
+    from speaksense_tpu.runtime.batcher import BatchedEngine
 
-    return WhisperEngine.from_pretrained(config.model_path, config=config.engine)
+    engine = WhisperEngine.from_pretrained(config.model_path, config=config.engine)
+    # all gRPC streams + task workers share one continuously-batched engine
+    return BatchedEngine(engine)
 
 
 def build_context(config: Config, engine):

@@ -191,23 +191,37 @@ def decode_loop(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mask: jax
 
 def transcribe_window(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mask: jax.Array,
                       mel: jax.Array, prompt: jax.Array, temperature: jax.Array,
-                      key: jax.Array, sot_index: int = 0, n_audio_ctx: int | None = None):
+                      key: jax.Array, sot_index: int | jax.Array = 0,
+                      n_audio_ctx: int | None = None,
+                      prompt_len: jax.Array | None = None):
     """Encode one batch of 30 s windows and decode them to tokens.
-    mel (B, T_mel, n_mels); prompt (B, P) int32 (same P per batch — language/
-    task prompts; pad with EOT-silence upstream if needed). Jit-compiled per
-    (B, P, n_mels, cfg) shape bucket by the engine layer.
+
+    mel (B, T_mel, n_mels); prompt (B, P) int32. Variable-length prompts
+    (context conditioning via <|startofprev|> prefixes) are RIGHT-padded:
+    prompt_len (B,) marks each row's true length; padded KV writes beyond
+    prompt_len are invisible (the causal mask only admits keys <= pos, and
+    generation overwrites them in order). sot_index (B,) locates <|sot|>
+    per row for the no-speech probability.
 
     Returns decode_loop outputs + avg_logprob (B,), no_speech_prob (B,).
     """
+    B, P = prompt.shape
     enc = W.encode(params, dims, mel, n_ctx_out=n_audio_ctx)
     cache = W.init_cache(dims, mel.shape[0], enc.shape[1], dtype=params["decoder"]["tok_emb"].dtype)
     ck, cv = W.compute_cross_kv(params, dims, enc, dtype=cache["cross_k"].dtype)
     cache = {**cache, "cross_k": ck, "cross_v": cv}
 
-    prefill_logits, cache = W.decode_prefill(params, dims, prompt, cache)
-    no_speech_prob = jax.nn.softmax(prefill_logits[:, sot_index].astype(jnp.float32), axis=-1)[:, cfg.no_speech]
+    prefill_logits, cache = W.decode_prefill(params, dims, prompt, cache,
+                                             prompt_len=prompt_len)
+    rows = jnp.arange(B)
+    sot_idx = jnp.broadcast_to(jnp.asarray(sot_index, jnp.int32), (B,))
+    sot_logits = prefill_logits[rows, sot_idx].astype(jnp.float32)
+    no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, cfg.no_speech]
 
-    out = decode_loop(params, dims, cfg, suppress_mask, prefill_logits[:, -1], cache,
+    last_idx = (jnp.broadcast_to(jnp.asarray(P if prompt_len is None else prompt_len),
+                                 (B,)) - 1).astype(jnp.int32)
+    first_logits = prefill_logits[rows, last_idx]
+    out = decode_loop(params, dims, cfg, suppress_mask, first_logits, cache,
                       temperature, key)
     denom = (out["n_sampled"] + 1).astype(jnp.float32)
     out["avg_logprob"] = out["sum_logprob"] / denom

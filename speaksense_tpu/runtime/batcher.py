@@ -43,6 +43,7 @@ class _WindowJob:
     language: str | None
     task: str
     suppress_non_speech: bool
+    context: list | None = None  # previous-text conditioning tokens
     future: Future = field(default_factory=Future)
 
     @property
@@ -67,18 +68,20 @@ class BatchedEngine(AsrEngine):
     # ------------------------------------------------------------- batching
 
     def submit_window(self, mel: np.ndarray, language: str | None, task: str,
-                      suppress_non_speech: bool) -> Future:
-        job = _WindowJob(np.asarray(mel), language, task, suppress_non_speech)
+                      suppress_non_speech: bool, context: list | None = None) -> Future:
+        job = _WindowJob(np.asarray(mel), language, task, suppress_non_speech, context)
         self._queue.put(job)
         return job.future
 
-    def _decode_window(self, mel, language, task, suppress_non_speech) -> dict:
+    def _decode_window(self, mel, language, task, suppress_non_speech,
+                       context=None) -> dict:
         """decode_window hook for WhisperEngine.transcribe_audio: one window
         through the shared batch."""
         mel = np.asarray(mel)
         if mel.ndim == 3:
             mel = mel[0]
-        return self.submit_window(mel, language, task, suppress_non_speech).result()
+        return self.submit_window(mel, language, task, suppress_non_speech,
+                                  context).result()
 
     def _loop(self) -> None:
         while not self._stop.is_set():
@@ -112,9 +115,11 @@ class BatchedEngine(AsrEngine):
             if pad > 0:
                 mels = np.concatenate([mels, np.zeros((pad,) + mels.shape[1:], mels.dtype)])
             langs = [j.language for j in batch] + ["en"] * pad
+            contexts = [j.context or [] for j in batch] + [[]] * pad
             results = self.engine.decode_windows(
                 mels, langs, task=batch[0].task,
-                suppress_non_speech=batch[0].suppress_non_speech)
+                suppress_non_speech=batch[0].suppress_non_speech,
+                context_tokens=contexts if any(contexts) else None)
             self.batches_run += 1
             self.windows_run += len(batch)
             from speaksense_tpu.utils.metrics import REGISTRY as METRICS

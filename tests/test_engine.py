@@ -89,3 +89,13 @@ def test_word_timestamps_attached(engine, rng):
         for w in s.words:
             assert set(w) == {"word", "start", "end"}
             assert w["start"] <= w["end"]
+
+
+def test_context_conditioning_prompt_shapes(engine, rng):
+    """Variable-length conditioned prompts pad to one bucket and decode."""
+    mels = engine.compute_mel((rng.standard_normal((2, 16000)) * 0.1).astype(np.float32))
+    ctx = [[101, 102, 103], list(range(200, 260))]
+    out = engine.decode_windows(mels, "en", context_tokens=ctx, max_new_tokens=8)
+    assert len(out) == 2
+    for r in out:
+        assert isinstance(r["text"], str)
