@@ -159,8 +159,12 @@ def _overlap_add(frames_td: np.ndarray, out_len: int, step: int, window: np.ndar
             break
         out[start:end] += frames_td[i, :span] * window[:span]
         norm[start:end] += w2[:span]
-    nz = norm > 1e-10
-    out[nz] = out[nz] / norm[nz] * post_gain
+    # Floor the normalizer: near stream edges only a window tail covers a
+    # sample, and spectral gains spread energy into regions where w ~ 0 —
+    # dividing by ~0 amplifies that leakage unboundedly (the reference's OLA
+    # has this defect; SURVEY.md §7 sanctions fixing it). Interior samples at
+    # 75% overlap have norm ~ 1.5 and are unaffected.
+    out = out / np.maximum(norm, 0.5) * post_gain
     return out
 
 

@@ -55,17 +55,25 @@ def test_noise_floor_on_mixed_signal(rng):
 
 
 def test_denoise_improves_snr(rng):
-    noisy, clean = _noisy_tone(rng, snr_db=5.0)
-    cfg = DSP.DenoiseConfig(post_gain=1.0)
-    out = DSP.denoise_audio(noisy, cfg)
+    # The noise spectrum is estimated from the FIRST 20 frames
+    # (mod.rs:665-686), so the fixture needs a noise-only lead-in — with
+    # speech from t=0 the estimator "subtracts" the speech itself.
+    lead = int(2.6 * SR)
+    tone = _tone(seconds=2.0)
+    noise = (rng.standard_normal(lead + tone.size) * 0.1).astype(np.float32)
+    noisy = noise.copy()
+    noisy[lead:] += tone
+    out = DSP.spectral_subtraction(noisy, 2048, 0.75, strength=0.5, post_gain=1.0)
     assert out.shape == noisy.shape
-    # tone frequency bin should dominate more after denoising
+
     def tone_ratio(x):
-        spec = np.abs(np.fft.rfft(x[:SR]))
-        k = int(440 * SR / SR)  # 440 Hz bin at 1s window
-        band = spec[k - 2 : k + 3].sum()
+        spec = np.abs(np.fft.rfft(x[lead : lead + SR]))
+        band = spec[438:443].sum()
         return band / (spec.sum() + 1e-9)
-    assert tone_ratio(out) > tone_ratio(noisy)
+
+    assert tone_ratio(out) > tone_ratio(noisy) * 1.2
+    # and the noise-only region got quieter
+    assert (out[:lead] ** 2).mean() < (noisy[:lead] ** 2).mean()
 
 
 def test_noise_classifier_stationary_vs_bursty(rng):
