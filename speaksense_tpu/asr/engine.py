@@ -129,12 +129,34 @@ class WhisperEngine(AsrEngine):
 
     @classmethod
     def from_pretrained(cls, path: str, config: EngineConfig | None = None) -> "WhisperEngine":
-        """Dispatch on checkpoint type: .bin ggml files or HF directories."""
+        """Dispatch on checkpoint type: ggml .bin files or HF directories
+        (config.json + safetensors, e.g. distil-whisper releases)."""
         import os
 
         if os.path.isdir(path):
-            raise NotImplementedError("HF directory loading lands with ckpt/hf_dir support")
+            return cls.from_hf_dir(path, config=config)
         return cls.from_ggml(path, config=config)
+
+    @classmethod
+    def from_hf_dir(cls, path: str, config: EngineConfig | None = None) -> "WhisperEngine":
+        import json
+        from pathlib import Path
+
+        from speaksense_tpu.ckpt.hf_dir import load_hf_dir
+
+        params, dims = load_hf_dir(path)
+        # HF dirs don't embed the ggml vocab; a tokenizer-layout vocab can be
+        # supplied as vocab.json (id->piece) or falls back to the synthetic
+        # layout (specials correct, text decode degraded).
+        vocab_file = Path(path) / "speaksense_vocab.json"
+        if vocab_file.is_file():
+            vocab = [bytes.fromhex(h) for h in json.loads(vocab_file.read_text())]
+            tok = Tokenizer.from_vocab(vocab)
+        else:
+            log.warning("%s has no speaksense_vocab.json; using synthetic vocab "
+                        "(special tokens fine, text decode needs the real vocab)", path)
+            tok = Tokenizer.synthetic(dims.n_vocab)
+        return cls(params, dims, tok, config=config, name=str(path))
 
     # ------------------------------------------------------------- jit plumbing
 

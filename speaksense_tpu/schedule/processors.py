@@ -124,3 +124,37 @@ class TranscribeProcessor(TaskProcessor):
             p = Path(self.audio_dir) / name
             if p.is_file():
                 p.unlink(missing_ok=True)
+
+
+class NoiseReductionProcessor(TaskProcessor):
+    """Functional NoiseReduction task (the reference declares the TaskType at
+    types.rs:11 but never implements a processor): denoise the input with the
+    DSP pipeline and write <name>.denoised.wav next to the audio dir."""
+
+    def __init__(self, audio_dir: str = "./asr_data/audio/"):
+        self.audio_dir = audio_dir
+
+    @property
+    def task_type(self) -> TaskType:
+        return TaskType.NOISE_REDUCTION
+
+    def validate_params(self, config: TaskConfig) -> None:
+        if not config.input_path:
+            raise ValueError("input_path is required")
+
+    def process(self, task: Task) -> TaskResult:
+        from speaksense_tpu.audio.dsp import DenoiseConfig, denoise_audio
+        from speaksense_tpu.audio.io import load_audio, write_wav
+
+        cfg = task.config
+        if cfg.path_type is PathType.URL:
+            from speaksense_tpu.utils.http import download_audio
+
+            path = download_audio(cfg.input_path, self.audio_dir)
+        else:
+            path = Path(cfg.input_path)
+        audio = load_audio(path)
+        cleaned = denoise_audio(audio, DenoiseConfig(post_gain=1.0))
+        out_path = Path(self.audio_dir) / (path.stem + ".denoised.wav")
+        write_wav(out_path, cleaned)
+        return TaskResult(TaskType.NOISE_REDUCTION, {"output_path": str(out_path)})

@@ -135,3 +135,37 @@ def test_event_bus_callback(manager, tmp_path):
     manager.complete_task(claimed, manager.process_task(claimed))
     ev = q.get(timeout=2)
     assert ev.kind == "complete" and ev.task_id == task.id
+
+
+def test_noise_reduction_processor(tmp_path):
+    from speaksense_tpu.schedule.processors import NoiseReductionProcessor
+    from speaksense_tpu.schedule.types import TaskParams
+
+    proc = NoiseReductionProcessor(audio_dir=str(tmp_path))
+    wav = _wav(tmp_path, "nr.wav")
+    cfg = TaskConfig(
+        task_type=TaskType.NOISE_REDUCTION, input_path=str(wav),
+        path_type=PathType.LOCAL, callback_type=CallbackType.none(),
+        params=TaskParams(TaskType.NOISE_REDUCTION, {}))
+    task = Task.new(cfg)
+    result = proc.process(task)
+    out = result.result["output_path"]
+    assert out.endswith(".denoised.wav")
+    import os
+
+    assert os.path.isfile(out)
+
+
+def test_stale_claim_cleanup(manager, tmp_path):
+    import time as _time
+
+    from speaksense_tpu.schedule import manager as M
+
+    manager.create_task(_config(_wav(tmp_path, "stale.wav")))
+    claimed = manager.get_next_task()
+    assert claimed is not None
+    # backdate the in-memory claim beyond the 30-min window
+    with manager._lock:
+        manager._processing[claimed.id] = _time.monotonic() - M.STALE_CLAIM_SECONDS - 1
+    assert manager.cleanup_stale_claims() == 1
+    assert claimed.id not in manager._processing
