@@ -1,0 +1,255 @@
+"""Token-level continuous batching: a slot-pool decode server.
+
+BASELINE config 4 targets "large-v3 continuous-batched serving: 64 concurrent
+streams, paged KV-cache". This engine admits and retires streams at *token*
+granularity: a pool of S decode slots shares one compiled step function; new
+windows join free slots while others are mid-decode, and slots free the
+moment their stream hits EOT — no head-of-line blocking across streams
+(the reference's design blocks per stream on a whisper.cpp mutex,
+/root/reference/src/asr/whisper.rs:30-39).
+
+KV memory design (TPU-first "paged" layout): XLA wants static shapes, so the
+pool IS the page table — self-KV (L, S, H, n_text_ctx, Dh) and cross-KV
+(L, S, H, A, Dh) are preallocated; a slot is a page, admission scatters a
+window's prefilled KV into its page via indexed writes inside jit, retirement
+just marks the slot free (no copies). This is the static-shape equivalent of
+vLLM-style paging at one-window-per-page granularity, which matches whisper:
+every window needs its whole cross-KV for every step, so finer pages would
+only add gather overhead.
+
+Two jitted programs, both S-static:
+  admit(params, state, mel, slot_idx, prompt...)  — encode + cross-KV +
+      prompt prefill for ONE new window, scattered into slot `slot_idx`;
+  pool_step(params, state)                        — one token for ALL active
+      slots (inactive slots masked; logits/rules identical to models/decode).
+
+The host loop interleaves admissions with steps, so a long-running stream
+never blocks admission for more than one decode step (~ms).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speaksense_tpu.models import whisper as W
+from speaksense_tpu.models import decode as D
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class _StreamJob:
+    mel: np.ndarray                  # (T_mel, n_mels) — one window
+    prompt: list[int]
+    future: Future = field(default_factory=Future)
+    slot: int = -1
+
+
+class SlotPool:
+    """Device-resident decode state for S slots + host-side occupancy."""
+
+    def __init__(self, engine, n_slots: int, t_mel: int, max_new: int,
+                 with_timestamps: bool = True):
+        self.engine = engine
+        self.dims = engine.dims
+        self.S = n_slots
+        self.t_mel = t_mel
+        self.n_audio_ctx = min(t_mel // 2, self.dims.n_audio_ctx)
+        self.max_new = max_new
+        self.cfg = D.RuleConfig.from_tokenizer(
+            engine.tokenizer, with_timestamps=with_timestamps,
+            max_initial_ts=engine.config.max_initial_ts, max_new_tokens=max_new)
+        self.suppress = engine._suppress[(False, False)]
+        dtype = engine.dtype
+        S, dims = self.S, self.dims
+        cache = W.init_cache(dims, S, self.n_audio_ctx, dtype=dtype)
+        self.state = dict(
+            **cache,
+            tokens=jnp.full((S, max_new), self.cfg.eot, jnp.int32),
+            last_logits=jnp.zeros((S, dims.n_vocab), jnp.float32),
+            n_sampled=jnp.zeros((S,), jnp.int32),
+            last=jnp.zeros((S,), jnp.int32),
+            penult=jnp.zeros((S,), jnp.int32),
+            last_ts=jnp.zeros((S,), jnp.int32),
+            active=jnp.zeros((S,), bool),
+            sum_lp=jnp.zeros((S,), jnp.float32),
+        )
+        self.free: list[int] = list(range(S))
+        self.jobs: dict[int, _StreamJob] = {}
+        self._admit_fn = None
+        self._step_fn = None
+
+    # ---------------------------------------------------------------- jitted
+
+    def _build_admit(self, prompt_len: int):
+        dims, cfg = self.dims, self.cfg
+
+        def admit(params, state, mel, slot, prompt):
+            # one-window prefill into slot `slot`
+            enc = W.encode(params, dims, mel, n_ctx_out=self.n_audio_ctx)
+            cache1 = W.init_cache(dims, 1, enc.shape[1], dtype=state["self_k"].dtype)
+            ck, cv = W.compute_cross_kv(params, dims, enc, dtype=cache1["cross_k"].dtype)
+            cache1 = {**cache1, "cross_k": ck, "cross_v": cv}
+            logits, cache1 = W.decode_prefill(params, dims, prompt, cache1)
+
+            new = dict(state)
+            new["self_k"] = jax.lax.dynamic_update_index_in_dim(state["self_k"], cache1["self_k"][:, 0], slot, 1)
+            new["self_v"] = jax.lax.dynamic_update_index_in_dim(state["self_v"], cache1["self_v"][:, 0], slot, 1)
+            new["cross_k"] = jax.lax.dynamic_update_index_in_dim(state["cross_k"], cache1["cross_k"][:, 0], slot, 1)
+            new["cross_v"] = jax.lax.dynamic_update_index_in_dim(state["cross_v"], cache1["cross_v"][:, 0], slot, 1)
+            new["pos"] = state["pos"].at[slot].set(cache1["pos"][0])
+            new["last_logits"] = state["last_logits"].at[slot].set(logits[0, -1].astype(jnp.float32))
+            new["tokens"] = state["tokens"].at[slot].set(jnp.full((self.max_new,), cfg.eot, jnp.int32))
+            for k in ("n_sampled", "last", "penult", "last_ts"):
+                new[k] = state[k].at[slot].set(0)
+            new["sum_lp"] = state["sum_lp"].at[slot].set(0.0)
+            new["active"] = state["active"].at[slot].set(True)
+            return new
+
+        return jax.jit(admit, donate_argnums=(1,))
+
+    def _build_step(self):
+        dims, cfg = self.dims, self.cfg
+
+        def step(params, suppress, state):
+            filtered = D.apply_logit_rules(
+                state["last_logits"], cfg, suppress,
+                state["n_sampled"], state["last"], state["penult"], state["last_ts"])
+            tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+            tok = jnp.where(state["active"], tok, cfg.eot)
+            lp = jax.nn.log_softmax(filtered, axis=-1)
+            tok_lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
+            newly_done = state["active"] & (tok == cfg.eot)
+            still = state["active"] & ~newly_done
+
+            write_col = jnp.minimum(state["n_sampled"], self.max_new - 1)
+            tokens = jax.vmap(lambda row, c, t: row.at[c].set(t))(
+                state["tokens"], write_col, tok)
+            tokens = jnp.where(state["active"][:, None], tokens, state["tokens"])
+
+            cache = {k: state[k] for k in ("self_k", "self_v", "cross_k", "cross_v", "pos")}
+            logits, cache = W.decode_step(params, dims, tok, cache)
+
+            is_ts = tok >= cfg.ts_begin
+            hit_cap = still & (state["n_sampled"] + 1 >= self.max_new)
+            new = dict(state)
+            new.update(cache)
+            # don't advance pos for inactive slots (keeps their pages frozen)
+            new["pos"] = jnp.where(state["active"], cache["pos"], state["pos"])
+            new["last_logits"] = logits
+            new["tokens"] = tokens
+            new["n_sampled"] = state["n_sampled"] + still.astype(jnp.int32)
+            new["last"] = jnp.where(still, tok, state["last"])
+            new["penult"] = jnp.where(still, state["last"], state["penult"])
+            new["last_ts"] = jnp.where(still & is_ts, tok, state["last_ts"])
+            new["sum_lp"] = state["sum_lp"] + jnp.where(state["active"], tok_lp, 0.0)
+            new["active"] = state["active"] & ~newly_done & ~hit_cap
+            finished_now = newly_done | hit_cap
+            return new, finished_now
+
+        return jax.jit(step, donate_argnums=(2,))
+
+    # ------------------------------------------------------------------ host
+
+    def admit(self, job: _StreamJob) -> bool:
+        if not self.free:
+            return False
+        slot = self.free.pop()
+        job.slot = slot
+        prompt = jnp.asarray(np.asarray(job.prompt, np.int32)[None, :])
+        if self._admit_fn is None:
+            self._admit_fn = self._build_admit(len(job.prompt))
+        mel = jnp.asarray(job.mel[None])
+        self.state = self._admit_fn(self.engine.params, self.state, mel,
+                                    jnp.int32(slot), prompt)
+        self.jobs[slot] = job
+        return True
+
+    def step(self) -> list[_StreamJob]:
+        """One pool-wide decode step; returns jobs that finished."""
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        self.state, finished_now = self._step_fn(self.engine.params, self.suppress,
+                                                 self.state)
+        done_mask = np.asarray(finished_now)
+        done: list[_StreamJob] = []
+        if done_mask.any():
+            tokens = np.asarray(self.state["tokens"])
+            n_sampled = np.asarray(self.state["n_sampled"])
+            sum_lp = np.asarray(self.state["sum_lp"])
+            for slot in np.nonzero(done_mask)[0]:
+                job = self.jobs.pop(int(slot), None)
+                if job is None:
+                    continue
+                n = int(n_sampled[slot])
+                job.future.set_result(dict(
+                    tokens=tokens[slot], n_sampled=n,
+                    sum_logprob=float(sum_lp[slot]),
+                    avg_logprob=float(sum_lp[slot]) / (n + 1),
+                ))
+                self.free.append(int(slot))
+                done.append(job)
+        return done
+
+    @property
+    def n_active(self) -> int:
+        return len(self.jobs)
+
+
+class StreamingDecodeServer:
+    """Background thread driving a SlotPool: submit windows, get futures."""
+
+    def __init__(self, engine, n_slots: int = 16, t_mel: int = 3000,
+                 max_new: int = 128):
+        self.engine = engine
+        self.pool = SlotPool(engine, n_slots, t_mel, max_new)
+        self._queue: "queue.Queue[_StreamJob]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, name="slot-server", daemon=True)
+        self._thread.start()
+        self.steps_run = 0
+
+    def submit(self, mel: np.ndarray, language: str | None = "en",
+               task: str = "transcribe") -> Future:
+        prompt = self.engine.tokenizer.sot_sequence(language or "en", task=task)
+        job = _StreamJob(np.asarray(mel), prompt)
+        self._queue.put(job)
+        return job.future
+
+    def _loop(self) -> None:
+        pending: list[_StreamJob] = []
+        while not self._stop.is_set():
+            # admit as many as fit — BETWEEN steps, i.e. token granularity
+            while True:
+                if not pending:
+                    try:
+                        timeout = 0.0005 if self.pool.n_active else 0.05
+                        pending.append(self._queue.get(timeout=timeout))
+                    except queue.Empty:
+                        break
+                if not self.pool.admit(pending[0]):
+                    break
+                pending.pop(0)
+            if self.pool.n_active:
+                try:
+                    self.pool.step()
+                    self.steps_run += 1
+                except Exception as e:  # pragma: no cover
+                    log.error("pool step failed: %s", e, exc_info=True)
+                    for job in list(self.pool.jobs.values()):
+                        if not job.future.done():
+                            job.future.set_exception(e)
+                    self.pool.jobs.clear()
+                    self.pool.free = list(range(self.pool.S))
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
