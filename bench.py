@@ -29,6 +29,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from speaksense_tpu.utils.jaxsetup import init_compilation_cache
+
+    init_compilation_cache()
+
     from speaksense_tpu.models import whisper as W
 
     dims = W.MODEL_DIMS[model_name]

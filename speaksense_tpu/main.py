@@ -60,6 +60,9 @@ async def serve(config: Config, fake_engine: bool = False) -> None:
     from speaksense_tpu.serving.grpc_server import GrpcServer
     from speaksense_tpu.serving.rest import start_server
 
+    from speaksense_tpu.utils.jaxsetup import init_compilation_cache
+
+    init_compilation_cache()
     config.init_dirs()
     engine = build_engine(config, fake=fake_engine)
     ctx, scheduler = build_context(config, engine)
