@@ -475,6 +475,17 @@ class WhisperEngine(AsrEngine):
             state.language = result.language or state.language
             return result
 
+    def enable_slot_serving(self, n_slots: int | None = None,
+                            t_mel: int = 512, max_new: int = 96) -> None:
+        """Route streaming chunks through the token-level slot pool
+        (runtime/slots.py): concurrent gRPC streams then join/leave the
+        decode batch at token granularity instead of window granularity."""
+        from speaksense_tpu.runtime.slots import StreamingDecodeServer
+
+        self._slot_server = StreamingDecodeServer(
+            self, n_slots=n_slots or self.config.stream_slots,
+            t_mel=t_mel, max_new=max_new)
+
     def _transcribe_stream_chunk(self, audio, params: AsrParams,
                                  decode_window=None) -> TranscribeResult:
         """Streaming chunk (~5 s): truncated-encoder bucket, no seek loop."""
@@ -483,6 +494,16 @@ class WhisperEngine(AsrEngine):
         bucket = self._mel_bucket(n_frames)
         mel = self.compute_mel(audio, pad_to=bucket)
         language = params.language or "en"
+        server = getattr(self, "_slot_server", None)
+        if server is not None and decode_window is None and bucket == server.pool.t_mel:
+            raw = server.submit(np.asarray(mel)[0], language=language,
+                                task=params.task).result()
+            window_dur = audio.size / SAMPLE_RATE
+            segs, _ = D.segments_from_tokens(raw["tokens"], raw["n_sampled"], self.tokenizer)
+            for s in segs:
+                s["end"] = min(s["end"], window_dur)
+                s["start"] = min(s["start"], s["end"])
+            return self._postprocess(segs, params, language)
         if decode_window is None:
             decode_window = (lambda mel, lang, task, sns:
                              self.decode_windows(

@@ -69,3 +69,20 @@ def test_pool_slot_isolation(engine, rng):
         assert r1["n_sampled"] == r2["n_sampled"]
     finally:
         server.stop()
+
+
+def test_stream_chunks_via_slot_pool(engine, rng):
+    """gRPC-style streaming chunks route through the slot pool when enabled."""
+    from speaksense_tpu.asr import AsrParams
+
+    engine.enable_slot_serving(n_slots=2, t_mel=512, max_new=12)
+    try:
+        state = engine.create_state()
+        audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+        res = engine.transcribe_with_state(
+            state, audio, AsrParams(language="en", stream_mode=True))
+        assert len(res.segments) <= 1
+        assert engine._slot_server.steps_run > 0
+    finally:
+        engine._slot_server.stop()
+        engine._slot_server = None
