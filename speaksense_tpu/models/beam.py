@@ -42,16 +42,17 @@ def _beam_block_factory(dims: W.WhisperDims, B: int, K: int):
         v_new = W._split_heads(W._linear(h, bp["v"]), n_head)
         sk = W._write_kv(sk, k_new.astype(sk.dtype), pos)
         sv = W._write_kv(sv, v_new.astype(sv.dtype), pos)
-        x = x + W._linear(W._merge_heads(W._attention(q, sk.astype(q.dtype), sv.astype(q.dtype), mask)), bp["o"])
+        x = x + W._linear(W._merge_heads(W._cached_attention(q, sk.astype(q.dtype), sv.astype(q.dtype), mask)), bp["o"])
         # cross-attention: beams share their batch row's encoder KV
         h = W._ln(x, bp["cross_ln"])
         cq = W._split_heads(W._linear(h, bp["cq"]), n_head)  # (BK, H, 1, Dh)
         cqb = cq.reshape(B, K, n_head, cq.shape[-1])          # (B, K, H, Dh)
         scale = cq.shape[-1] ** -0.5
-        logits = jnp.einsum("bkhd,bhad->bkha", cqb, ck.astype(cqb.dtype),
+        # cross KV is time-minor: (B, H, Dh, A)
+        logits = jnp.einsum("bkhd,bhda->bkha", cqb, ck.astype(cqb.dtype),
                             preferred_element_type=jnp.float32) * scale
         weights = jax.nn.softmax(logits, axis=-1).astype(cqb.dtype)
-        ctx = jnp.einsum("bkha,bhad->bkhd", weights, cv.astype(cqb.dtype),
+        ctx = jnp.einsum("bkha,bhda->bkhd", weights, cv.astype(cqb.dtype),
                          preferred_element_type=jnp.float32).astype(cqb.dtype)
         ctx = ctx.reshape(B * K, n_head, 1, ctx.shape[-1])
         x = x + W._linear(W._merge_heads(ctx), bp["co"])
