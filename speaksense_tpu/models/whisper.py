@@ -354,12 +354,20 @@ def _cached_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.einsum("bhpt,bhdt->bhpd", weights, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def _pallas_decode_enabled() -> bool:
+    import os
+
+    return os.environ.get("SPEAKSENSE_PALLAS_DECODE", "") not in ("", "0", "false")
+
+
 def _dec_block_factory(dims: WhisperDims):
     n_head = dims.n_text_head
 
     def block(carry, xs):
         x, pos, mask = carry
         bp, sk, sv, ck, cv = xs
+        single_step = x.shape[1] == 1
+        use_pallas = single_step and _pallas_decode_enabled()
         # self-attention with cache (time-minor KV)
         h = _ln(x, bp["attn_ln"])
         q = _split_heads(_linear(h, bp["q"]), n_head)
@@ -367,11 +375,23 @@ def _dec_block_factory(dims: WhisperDims):
         v_new = _split_heads(_linear(h, bp["v"]), n_head)
         sk = _write_kv(sk, k_new.astype(sk.dtype), pos)
         sv = _write_kv(sv, v_new.astype(sv.dtype), pos)
-        x = x + _linear(_merge_heads(_cached_attention(q, sk.astype(q.dtype), sv.astype(q.dtype), mask)), bp["o"])
+        if use_pallas:
+            from speaksense_tpu.ops.decode_attention import decode_self_attention
+
+            attn = decode_self_attention(q[:, :, 0, :], sk, sv, pos + 1)[:, :, None, :]
+        else:
+            attn = _cached_attention(q, sk.astype(q.dtype), sv.astype(q.dtype), mask)
+        x = x + _linear(_merge_heads(attn), bp["o"])
         # cross-attention over precomputed encoder KV
         h = _ln(x, bp["cross_ln"])
         cq = _split_heads(_linear(h, bp["cq"]), n_head)
-        x = x + _linear(_merge_heads(_cached_attention(cq, ck.astype(cq.dtype), cv.astype(cq.dtype), None)), bp["co"])
+        if use_pallas:
+            from speaksense_tpu.ops.decode_attention import decode_cross_attention
+
+            cattn = decode_cross_attention(cq[:, :, 0, :], ck, cv)[:, :, None, :]
+        else:
+            cattn = _cached_attention(cq, ck.astype(cq.dtype), cv.astype(cq.dtype), None)
+        x = x + _linear(_merge_heads(cattn), bp["co"])
         # mlp
         h = _ln(x, bp["mlp_ln"])
         x = x + _linear(jax.nn.gelu(_linear(h, bp["fc1"]), approximate=False), bp["fc2"])
