@@ -465,6 +465,12 @@ class WhisperEngine(AsrEngine):
     def transcribe_with_state(self, state: EngineState, audio, params: AsrParams,
                               decode_window=None) -> TranscribeResult:
         with state.lock:  # reference serializes per-stream (asr/mod.rs:60)
+            if log.isEnabledFor(logging.DEBUG):
+                import zlib
+
+                a = np.asarray(audio, np.float32)
+                log.debug("transcribing %d samples, checksum=%08x", a.size,
+                          zlib.crc32(a.tobytes()))  # reference whisper.rs:225-234
             if params.language is None and state.language:
                 params = AsrParams(**{**params.__dict__, "language": state.language})
             if params.stream_mode:

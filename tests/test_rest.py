@@ -175,3 +175,19 @@ def test_invalid_task_config_rejected(stack):
         return True
 
     assert asyncio.run(_with_server(ctx, flow))
+
+
+def test_metrics_and_health(stack):
+    ctx, _, _, _ = stack
+
+    async def flow(client):
+        resp = await client.get("/health")
+        assert resp.status == 200
+        assert (await resp.json())["status"] == "ok"
+        resp = await client.get("/metrics")
+        assert resp.status == 200
+        text = await resp.text()
+        assert "# TYPE" in text or text.strip() == ""  # prometheus text format
+        return True
+
+    assert asyncio.run(_with_server(ctx, flow))
