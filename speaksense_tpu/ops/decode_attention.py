@@ -1,14 +1,15 @@
 """Pallas decode-attention kernels: single-query attention over cached KV.
 
-Profiling on v5e (large-v3, B=8) showed the decode step spending ~6.3 ms in
-cross-attention at ~30% of HBM peak; the root cause (head_dim=64 on the
-minor axis padding 2x) is fixed by the time-minor cache layout in
-models/whisper.py. These kernels go further: each (b, h) KV block streams
-HBM->VMEM exactly once per step (Pallas double-buffers consecutive grid
-steps) and the whole softmax(qk)v happens in VMEM in one kernel.
+Decode-step attention reads the whole KV cache for one query token; XLA
+schedules that as several small kernels at ~30% of HBM peak. These kernels
+stream each KV block HBM->VMEM exactly once per step (Pallas double-buffers
+consecutive grid steps) and do the whole softmax(qk)v in VMEM.
 
-Layout: KV is time-minor (B, H, Dh, T) — matching init_cache — so
-logits = K^T contraction and out = V @ w are direct matmuls.
+Layout: KV is time-minor (B, H, Dh, T) — matching models/whisper.init_cache.
+Mosaic requires >= 8 sublanes per block, so the grid processes G=8 (b, h)
+rows at a time (row padding added when B*H % 8 != 0); per-row valid lengths
+ride along as a VMEM column so self-attention slots at different offsets
+share the block.
 
 Both kernels are exact (f32 softmax) and unit-tested in interpret mode
 against the XLA reference; enable in the model path with
@@ -25,24 +26,55 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+G = 8  # (b, h) rows per grid step (sublane granularity)
 
 
-def _attend_one(q_row, k_blk, v_blk, n_valid) -> jax.Array:
-    """q (1, Dh); k/v (Dh, T); n_valid scalar -> (1, Dh) f32."""
-    q = q_row.astype(jnp.float32)
-    k = k_blk.astype(jnp.float32)
-    v = v_blk.astype(jnp.float32)
+def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref):
+    # blocks: len (G, 1) i32; q (G, Dh); k/v (G, Dh, T); o (G, Dh)
+    q = q_ref[:].astype(jnp.float32)               # (G, Dh)
+    k = k_ref[:].astype(jnp.float32)               # (G, Dh, T)
+    v = v_ref[:].astype(jnp.float32)
     scale = q.shape[-1] ** -0.5
-    logits = jnp.dot(q, k, preferred_element_type=jnp.float32) * scale  # (1, T)
+    # batched matvec: logits[g, t] = sum_d q[g, d] * k[g, d, t]
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # (G, T)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(t_idx < n_valid, logits, NEG_INF)
-    m = jnp.max(logits)
-    w = jnp.exp(logits - m)                                   # (1, T)
-    return jnp.dot(w, v.T, preferred_element_type=jnp.float32) / jnp.sum(w)
+    logits = jnp.where(t_idx < len_ref[:], logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    w = jnp.exp(logits - m)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)      # (G, T)
+    out = jax.lax.dot_general(
+        w, v, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (G, Dh)
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
-def _cross_kernel(q_ref, k_ref, v_ref, o_ref, *, a_valid: int):
-    o_ref[:] = _attend_one(q_ref[:], k_ref[0], v_ref[0], a_valid).astype(o_ref.dtype)
+def _run(q2: jax.Array, k2: jax.Array, v2: jax.Array, lengths_row: jax.Array,
+         interpret: bool) -> jax.Array:
+    N, Dh = q2.shape
+    T = k2.shape[-1]
+    pad = (-N) % G
+    if pad:
+        q2 = jnp.pad(q2, ((0, pad), (0, 0)))
+        k2 = jnp.pad(k2, ((0, pad), (0, 0), (0, 0)))
+        v2 = jnp.pad(v2, ((0, pad), (0, 0), (0, 0)))
+        lengths_row = jnp.pad(lengths_row, ((0, pad), (0, 0)), constant_values=1)
+    Np = q2.shape[0]
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((Np, Dh), q2.dtype),
+        grid=(Np // G,),
+        in_specs=[
+            pl.BlockSpec((G, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Dh, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Dh, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, Dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(lengths_row, q2, k2, v2)
+    return out[:N]
 
 
 @functools.partial(jax.jit, static_argnames=("a_valid", "interpret"))
@@ -54,27 +86,10 @@ def decode_cross_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     B, H, Dh = q.shape
     A = k.shape[-1]
     a_valid = A if a_valid is None else a_valid
-    q2 = q.reshape(B * H, Dh)
-    k2 = k.reshape(B * H, Dh, A)
-    v2 = v.reshape(B * H, Dh, A)
-    out = pl.pallas_call(
-        functools.partial(_cross_kernel, a_valid=a_valid),
-        out_shape=jax.ShapeDtypeStruct((B * H, Dh), q.dtype),
-        grid=(B * H,),
-        in_specs=[
-            pl.BlockSpec((1, Dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Dh, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Dh, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, Dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(q2, k2, v2)
+    lengths_row = jnp.full((B * H, 1), a_valid, jnp.int32)
+    out = _run(q.reshape(B * H, Dh), k.reshape(B * H, Dh, A),
+               v.reshape(B * H, Dh, A), lengths_row, interpret)
     return out.reshape(B, H, Dh)
-
-
-def _self_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *, heads: int):
-    b = pl.program_id(0) // heads
-    o_ref[:] = _attend_one(q_ref[:], k_ref[0], v_ref[0], lengths_ref[b]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -85,23 +100,7 @@ def decode_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     must already be written)."""
     B, H, Dh = q.shape
     T = k.shape[-1]
-    q2 = q.reshape(B * H, Dh)
-    k2 = k.reshape(B * H, Dh, T)
-    v2 = v.reshape(B * H, Dh, T)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B * H,),
-        in_specs=[
-            pl.BlockSpec((1, Dh), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Dh, T), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Dh, T), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, Dh), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-    )
-    out = pl.pallas_call(
-        functools.partial(_self_kernel, heads=H),
-        out_shape=jax.ShapeDtypeStruct((B * H, Dh), q.dtype),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(lengths.astype(jnp.int32), q2, k2, v2)
+    lengths_row = jnp.repeat(lengths.astype(jnp.int32), H).reshape(B * H, 1)
+    out = _run(q.reshape(B * H, Dh), k.reshape(B * H, Dh, T),
+               v.reshape(B * H, Dh, T), lengths_row, interpret)
     return out.reshape(B, H, Dh)
