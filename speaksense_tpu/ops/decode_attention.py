@@ -35,18 +35,17 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref):
     k = k_ref[:].astype(jnp.float32)               # (G, Dh, T)
     v = v_ref[:].astype(jnp.float32)
     scale = q.shape[-1] ** -0.5
-    # batched matvec: logits[g, t] = sum_d q[g, d] * k[g, d, t]
-    logits = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale  # (G, T)
+    # batched matvec via broadcast-multiply-reduce (Mosaic cannot lower
+    # batched dot_general; this op is bandwidth-bound so the VPU is fine):
+    # logits[g, t] = sum_d q[g, d] * k[g, d, t]
+    logits = jnp.sum(q[:, :, None] * k, axis=1) * scale  # (G, T)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     logits = jnp.where(t_idx < len_ref[:], logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     w = jnp.exp(logits - m)
     w = w / jnp.sum(w, axis=-1, keepdims=True)      # (G, T)
-    out = jax.lax.dot_general(
-        w, v, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)          # (G, Dh)
+    # out[g, d] = sum_t w[g, t] * v[g, d, t]
+    out = jnp.sum(w[:, None, :] * v, axis=2)         # (G, Dh)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
