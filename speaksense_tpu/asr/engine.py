@@ -410,6 +410,38 @@ class WhisperEngine(AsrEngine):
                 seek += MEL.N_SAMPLES
         return self._postprocess(raw_segments, params, language)
 
+    def transcribe_audio_vad(self, audio: np.ndarray, params: AsrParams,
+                             decode_window=None) -> TranscribeResult:
+        """VAD-segmented long-form transcription: energy VAD finds speech
+        spans (audio/vad.py), only those reach the encoder, and segment
+        times are shifted to absolute positions. Silence-heavy inputs decode
+        several times faster and hallucinate less (SURVEY.md §7 step 9)."""
+        from speaksense_tpu.audio.vad import speech_segments
+
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        spans = speech_segments(audio)
+        if not spans:
+            return TranscribeResult(segments=[], full_text="",
+                                    language=params.language)
+        all_segments: list[TranscribeSegment] = []
+        language = params.language
+        full_text = []
+        for start, end in spans:
+            res = self.transcribe_audio(audio[start:end], params, decode_window)
+            language = language or res.language
+            offset = start / SAMPLE_RATE
+            for s in res.segments:
+                s.start += offset
+                s.end += offset
+                if s.words:
+                    for w in s.words:
+                        w["start"] += offset
+                        w["end"] += offset
+                all_segments.append(s)
+            full_text.append(res.full_text)
+        return TranscribeResult(segments=all_segments, full_text="".join(full_text),
+                                language=language)
+
     def _attach_words(self, segs: list[dict], res: dict, mel, language: str | None,
                       offset: float, window_dur: float) -> None:
         """Word-level timestamps via cross-attention DTW (models/align.py);

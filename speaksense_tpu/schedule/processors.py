@@ -51,10 +51,12 @@ class TaskProcessor(abc.ABC):
 
 class TranscribeProcessor(TaskProcessor):
     def __init__(self, engine: AsrEngine, audio_dir: str = "./asr_data/audio/",
-                 denoise: bool = False):
+                 denoise: bool = False, vad_segmentation: bool = False):
         self.engine = engine
         self.audio_dir = audio_dir
         self.denoise = denoise
+        # VAD-driven segmentation: only voiced spans reach the TPU
+        self.vad_segmentation = vad_segmentation
 
     @property
     def task_type(self) -> TaskType:
@@ -101,7 +103,11 @@ class TranscribeProcessor(TaskProcessor):
                 language=getattr(p, "language", None),
                 speaker_diarization=getattr(p, "speaker_diarization", False),
             )
-            result = self.engine.transcribe(np.asarray(audio, np.float32), asr_params)
+            if self.vad_segmentation and hasattr(self.engine, "transcribe_audio_vad"):
+                result = self.engine.transcribe_audio_vad(
+                    np.asarray(audio, np.float32), asr_params)
+            else:
+                result = self.engine.transcribe(np.asarray(audio, np.float32), asr_params)
             segments = [
                 ResultSegment(
                     text=s.text,

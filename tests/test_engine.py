@@ -99,3 +99,15 @@ def test_context_conditioning_prompt_shapes(engine, rng):
     assert len(out) == 2
     for r in out:
         assert isinstance(r["text"], str)
+
+
+def test_transcribe_audio_vad(engine):
+    # 2s silence + 1s tone + 2s silence + 1s tone: VAD finds two spans
+    t = np.arange(16000) / 16000
+    tone = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    silence = np.zeros(16000 * 2, np.float32)
+    audio = np.concatenate([silence, tone, silence, tone])
+    res = engine.transcribe_audio_vad(audio, AsrParams(language="en"))
+    for s in res.segments:
+        # all segments lie inside voiced spans (± VAD padding)
+        assert (1.5 <= s.start <= 3.5) or (4.5 <= s.start <= 6.5), s.start
