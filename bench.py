@@ -22,7 +22,7 @@ import numpy as np
 
 def main():
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))  # best measured config (PERF.md)
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "200"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
