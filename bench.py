@@ -39,13 +39,20 @@ def main():
     params = W.init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     prompt_len = 3
 
+    int8_kv = os.environ.get("BENCH_INT8_KV", "") not in ("", "0", "false")
+
     def window_step(params, mel, prompt):
         """encode + cross-KV + prefill + fixed-length decode (the per-window
         serving pipeline, minus host-side logit rules which are O(vocab) adds)."""
         enc = W.encode(params, dims, mel)
         cache = W.init_cache(dims, mel.shape[0], enc.shape[1], dtype=jnp.bfloat16)
         ck, cv = W.compute_cross_kv(params, dims, enc, dtype=jnp.bfloat16)
-        cache = {**cache, "cross_k": ck, "cross_v": cv}
+        if int8_kv:
+            kq, vq, ks, vs = W.quantize_cross_kv(ck, cv)
+            cache = {**cache, "cross_k": kq, "cross_v": vq,
+                     "cross_k_scale": ks, "cross_v_scale": vs}
+        else:
+            cache = {**cache, "cross_k": ck, "cross_v": cv}
         logits, cache = W.decode_prefill(params, dims, prompt, cache)
         tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 

@@ -176,10 +176,13 @@ class WhisperEngine(AsrEngine):
                 max_initial_ts=self.config.max_initial_ts, max_new_tokens=max_new)
             n_audio_ctx = min(t_mel // 2, self.dims.n_audio_ctx)
 
+            cross_int8 = self.config.cross_kv_int8
+
             def run(params, suppress, mel_f32, prompt, prompt_len, sot_index, temps, key):
                 return D.transcribe_window(params, self.dims, cfg, suppress, mel_f32,
                                            prompt, temps, key, sot_index=sot_index,
-                                           n_audio_ctx=n_audio_ctx, prompt_len=prompt_len)
+                                           n_audio_ctx=n_audio_ctx, prompt_len=prompt_len,
+                                           cross_kv_int8=cross_int8)
 
             fn = jax.jit(run)
             self._jit_cache[key] = fn

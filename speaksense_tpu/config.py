@@ -64,6 +64,7 @@ class EngineConfig:
     stream_slots: int = 64          # continuous-batching decode slots
     # numerics
     compute_dtype: str = "bfloat16"
+    cross_kv_int8: bool = False     # int8 cross-attention KV (2x less decode HBM traffic)
     # convert-once weight cache directory
     weight_cache_dir: str = "./asr_data/weights_cache"
 

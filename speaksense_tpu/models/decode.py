@@ -193,7 +193,8 @@ def transcribe_window(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mas
                       mel: jax.Array, prompt: jax.Array, temperature: jax.Array,
                       key: jax.Array, sot_index: int | jax.Array = 0,
                       n_audio_ctx: int | None = None,
-                      prompt_len: jax.Array | None = None):
+                      prompt_len: jax.Array | None = None,
+                      cross_kv_int8: bool = False):
     """Encode one batch of 30 s windows and decode them to tokens.
 
     mel (B, T_mel, n_mels); prompt (B, P) int32. Variable-length prompts
@@ -209,7 +210,14 @@ def transcribe_window(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mas
     enc = W.encode(params, dims, mel, n_ctx_out=n_audio_ctx)
     cache = W.init_cache(dims, mel.shape[0], enc.shape[1], dtype=params["decoder"]["tok_emb"].dtype)
     ck, cv = W.compute_cross_kv(params, dims, enc, dtype=cache["cross_k"].dtype)
-    cache = {**cache, "cross_k": ck, "cross_v": cv}
+    if cross_kv_int8:
+        # per-channel int8 cross-KV: halves the dominant decode-time HBM
+        # traffic (PERF.md); scales fold exactly into q / output
+        kq, vq, ks, vs = W.quantize_cross_kv(ck, cv)
+        cache = {**cache, "cross_k": kq, "cross_v": vq,
+                 "cross_k_scale": ks, "cross_v_scale": vs}
+    else:
+        cache = {**cache, "cross_k": ck, "cross_v": cv}
 
     prefill_logits, cache = W.decode_prefill(params, dims, prompt, cache,
                                              prompt_len=prompt_len)

@@ -354,18 +354,39 @@ def _cached_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.einsum("bhpt,bhdt->bhpd", weights, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def _cached_attention_q8(q: jax.Array, kq: jax.Array, vq: jax.Array,
+                         ks: jax.Array, vs: jax.Array,
+                         mask: jax.Array | None) -> jax.Array:
+    """Attention over int8 time-minor KV with per-channel scales.
+    q (B,H,P,Dh); kq/vq int8 (B,H,Dh,T); ks/vs f32 (B,H,Dh,1).
+    Exact folding: scales move into q (keys) and the output (values)."""
+    scale = q.shape[-1] ** -0.5
+    q_scaled = (q.astype(jnp.float32) * jnp.swapaxes(ks, -1, -2)).astype(q.dtype)
+    logits = jnp.einsum("bhpd,bhdt->bhpt", q_scaled, kq.astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, -1e30)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhpt,bhdt->bhpd", weights, vq.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    return (out * jnp.swapaxes(vs, -1, -2)).astype(q.dtype)
+
+
 def _pallas_decode_enabled() -> bool:
     import os
 
     return os.environ.get("SPEAKSENSE_PALLAS_DECODE", "") not in ("", "0", "false")
 
 
-def _dec_block_factory(dims: WhisperDims):
+def _dec_block_factory(dims: WhisperDims, quantized: bool = False):
     n_head = dims.n_text_head
 
     def block(carry, xs):
         x, pos, mask = carry
-        bp, sk, sv, ck, cv = xs
+        if quantized:
+            bp, sk, sv, ck, cv, cks, cvs = xs
+        else:
+            bp, sk, sv, ck, cv = xs
         single_step = x.shape[1] == 1
         use_pallas = single_step and _pallas_decode_enabled()
         # self-attention with cache (time-minor KV)
@@ -385,7 +406,9 @@ def _dec_block_factory(dims: WhisperDims):
         # cross-attention over precomputed encoder KV
         h = _ln(x, bp["cross_ln"])
         cq = _split_heads(_linear(h, bp["cq"]), n_head)
-        if use_pallas:
+        if quantized:
+            cattn = _cached_attention_q8(cq, ck, cv, cks, cvs, None)
+        elif use_pallas:
             from speaksense_tpu.ops.decode_attention import decode_cross_attention
 
             cattn = decode_cross_attention(cq[:, :, 0, :], ck, cv)[:, :, None, :]
@@ -416,6 +439,27 @@ def compute_cross_kv(params: Params, dims: WhisperDims, enc_out: jax.Array, dtyp
     return ks, vs
 
 
+def quantize_cross_kv(ck: jax.Array, cv: jax.Array):
+    """Symmetric per-(layer, slot, head, channel) int8 quantization of the
+    cross-attention KV — the dominant decode-time HBM traffic (PERF.md).
+    Scales fold into the attention math exactly:
+      logits = (q * k_scale) @ k_q        (scale per Dh channel)
+      out    = v_scale * (w @ v_q)
+    so the int8 tensors are the only per-step KV reads (2x fewer bytes than
+    bf16; enables batch 32 on one v5e).
+    Input/output time-minor (L, B, H, Dh, A); scales (L, B, H, Dh, 1) f32.
+    """
+    def q8(x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    kq, ks = q8(ck)
+    vq, vs = q8(cv)
+    return kq, vq, ks, vs
+
+
 def _decoder_tail(params: Params, x: jax.Array) -> jax.Array:
     p = params["decoder"]
     x = _ln(x, p["ln"])
@@ -440,11 +484,12 @@ def decode_prefill(params: Params, dims: WhisperDims, tokens: jax.Array, cache: 
     k_idx = jnp.arange(dims.n_text_ctx)[None, None, None, :]
     mask = k_idx <= q_idx  # (B, 1, P, T_max)
 
-    block = _dec_block_factory(dims)
-    (x, _, _), (sk, sv) = jax.lax.scan(
-        block, (x, pos, mask),
-        (p["blocks"], cache["self_k"], cache["self_v"], cache["cross_k"], cache["cross_v"]),
-    )
+    quant = "cross_k_scale" in cache
+    block = _dec_block_factory(dims, quantized=quant)
+    xs = (p["blocks"], cache["self_k"], cache["self_v"], cache["cross_k"], cache["cross_v"])
+    if quant:
+        xs = xs + (cache["cross_k_scale"], cache["cross_v_scale"])
+    (x, _, _), (sk, sv) = jax.lax.scan(block, (x, pos, mask), xs)
     new_len = P if prompt_len is None else prompt_len
     cache = {**cache, "self_k": sk, "self_v": sv, "pos": pos + new_len}
     return _decoder_tail(params, x), cache
@@ -461,11 +506,12 @@ def decode_step(params: Params, dims: WhisperDims, token: jax.Array, cache: Para
     k_idx = jnp.arange(dims.n_text_ctx)[None, None, None, :]
     mask = k_idx <= pos[:, None, None, None]  # (B,1,1,T_max)
 
-    block = _dec_block_factory(dims)
-    (x, _, _), (sk, sv) = jax.lax.scan(
-        block, (x, pos, mask),
-        (p["blocks"], cache["self_k"], cache["self_v"], cache["cross_k"], cache["cross_v"]),
-    )
+    quant = "cross_k_scale" in cache
+    block = _dec_block_factory(dims, quantized=quant)
+    xs = (p["blocks"], cache["self_k"], cache["self_v"], cache["cross_k"], cache["cross_v"])
+    if quant:
+        xs = xs + (cache["cross_k_scale"], cache["cross_v_scale"])
+    (x, _, _), (sk, sv) = jax.lax.scan(block, (x, pos, mask), xs)
     cache = {**cache, "self_k": sk, "self_v": sv, "pos": pos + 1}
     return _decoder_tail(params, x)[:, 0, :], cache
 

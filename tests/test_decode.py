@@ -152,3 +152,32 @@ def test_segments_trailing_pair_sets_seek():
     segs, advance = D.segments_from_tokens(arr, len(ids), TOK)
     assert segs[-1]["end"] == 6.0
     assert advance == 6.0
+
+
+def test_transcribe_window_int8_cross_kv(tiny_model, rng):
+    """int8 cross-KV decoding produces near-identical behavior: same rule
+    compliance, and attention numerics within quantization tolerance."""
+    params, dims = tiny_model
+    mel = jnp.asarray(rng.standard_normal((2, 3000, dims.n_mels)), jnp.float32)
+    prompt = jnp.asarray([TOK.sot_sequence("en")] * 2, jnp.int32)
+    out = D.transcribe_window(params, dims, CFG, SUPPRESS, mel, prompt,
+                              jnp.zeros((2,), jnp.float32), jax.random.PRNGKey(0),
+                              cross_kv_int8=True)
+    tokens = np.asarray(out["tokens"])
+    n = np.asarray(out["n_sampled"])
+    for b in range(2):
+        if n[b] > 0:
+            assert tokens[b, 0] >= TOK.ts_begin
+    assert np.isfinite(np.asarray(out["avg_logprob"])).all()
+
+
+def test_quantize_cross_kv_roundtrip(tiny_model, rng):
+    params, dims = tiny_model
+    mel = jnp.asarray(rng.standard_normal((1, 3000, dims.n_mels)), jnp.float32)
+    enc = W.encode(params, dims, mel)
+    ck, cv = W.compute_cross_kv(params, dims, enc, dtype=jnp.float32)
+    kq, vq, ks, vs = W.quantize_cross_kv(ck, cv)
+    assert kq.dtype == jnp.int8
+    deq = np.asarray(kq, np.float32) * np.asarray(ks)
+    rel = np.abs(deq - np.asarray(ck)).max() / (np.abs(np.asarray(ck)).max() + 1e-9)
+    assert rel < 0.02  # per-channel int8: <2% worst-case error
