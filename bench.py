@@ -22,7 +22,7 @@ import numpy as np
 
 def main():
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    batch = int(os.environ.get("BENCH_BATCH", "16"))  # best measured config (PERF.md)
+    batch = int(os.environ.get("BENCH_BATCH", "32"))  # best measured config (PERF.md)
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "200"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
@@ -39,7 +39,7 @@ def main():
     params = W.init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     prompt_len = 3
 
-    int8_kv = os.environ.get("BENCH_INT8_KV", "") not in ("", "0", "false")
+    int8_kv = os.environ.get("BENCH_INT8_KV", "1") not in ("", "0", "false")
 
     def window_step(params, mel, prompt):
         """encode + cross-KV + prefill + fixed-length decode (the per-window
@@ -83,7 +83,8 @@ def main():
 
     print(json.dumps({
         "metric": f"{model_name} batched transcription real-time factor (audio-s/s/chip, "
-                  f"B={batch}, {decode_tokens} tok/window)",
+                  f"B={batch}, {decode_tokens} tok/window"
+                  f"{', int8 cross-KV' if int8_kv else ''})",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 30.0, 2),
