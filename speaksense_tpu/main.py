@@ -93,6 +93,13 @@ def main() -> None:
                         help="serve with the deterministic fake engine (no TPU)")
     parser.add_argument("--http-port", type=int)
     parser.add_argument("--grpc-port", type=int)
+    parser.add_argument("--batch", type=int, default=None,
+                        help="windows batched per engine step (default 8; 32 "
+                             "with --int8-kv is the measured-best large-v3 config)")
+    parser.add_argument("--int8-kv", action="store_true",
+                        help="int8 cross-attention KV (2x less decode HBM traffic)")
+    parser.add_argument("--beam-size", type=int, default=None,
+                        help="beam search width at t=0 (default greedy)")
     args = parser.parse_args()
 
     config = Config.from_env()
@@ -102,6 +109,12 @@ def main() -> None:
         config.http_port = args.http_port
     if args.grpc_port:
         config.grpc_port = args.grpc_port
+    if args.batch:
+        config.engine.max_batch_size = args.batch
+    if args.int8_kv:
+        config.engine.cross_kv_int8 = True
+    if args.beam_size:
+        config.engine.beam_size = args.beam_size
 
     logsetup.init(config.log_dir)
     asyncio.run(serve(config, fake_engine=args.fake_engine))
