@@ -36,7 +36,8 @@ def main():
     from speaksense_tpu.models import whisper as W
 
     dims = W.MODEL_DIMS[model_name]
-    params = W.init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = jax.device_put(jax.tree.map(jnp.asarray, W.init_params_np(dims, dtype=np.dtype("float32"))))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params)
     prompt_len = 3
 
     int8_kv = os.environ.get("BENCH_INT8_KV", "1") not in ("", "0", "false")

@@ -163,13 +163,73 @@ def init_params(dims: WhisperDims, key: jax.Array | None = None, dtype=jnp.float
     return jax.tree.map(lambda x: x.astype(dtype), params)
 
 
-def sinusoids(length: int, channels: int, max_timescale: float = 10_000.0) -> jnp.ndarray:
-    """Sinusoidal position embedding (whisper encoder convention)."""
+def init_params_np(dims: WhisperDims, seed: int = 0, dtype=np.float32) -> Params:
+    """Numpy-RNG random parameters (same pytree as init_params).
+
+    init_params draws each tensor via jax.random on the default device —
+    hundreds of tiny programs that a remote-compile TPU environment turns
+    into a 20+ minute cold start. Benchmarks and driver entry points use this
+    host-side initializer instead (one upload per tensor, zero compiles).
+    """
+    rng = np.random.default_rng(seed)
+    d, dt = dims.n_audio_state, dims.n_text_state
+
+    def lin(d_in, d_out, bias=True):
+        p = {"w": (rng.standard_normal((d_in, d_out)) / math.sqrt(d_in)).astype(dtype)}
+        if bias:
+            p["b"] = np.zeros((d_out,), dtype)
+        return p
+
+    def ln_init():
+        return {"g": np.ones((d,), dtype), "b": np.zeros((d,), dtype)}
+
+    def attn(prefix=""):
+        return {prefix + "q": lin(d, d), prefix + "k": lin(d, d, bias=False),
+                prefix + "v": lin(d, d), prefix + "o": lin(d, d)}
+
+    def stack(blocks):
+        out = {}
+        for key in blocks[0]:
+            if isinstance(blocks[0][key], dict):
+                out[key] = stack([b[key] for b in blocks])
+            else:
+                out[key] = np.stack([b[key] for b in blocks])
+        return out
+
+    enc_blocks = [{"attn_ln": ln_init(), **attn(), "mlp_ln": ln_init(),
+                   "fc1": lin(d, 4 * d), "fc2": lin(4 * d, d)}
+                  for _ in range(dims.n_audio_layer)]
+    dec_blocks = [{"attn_ln": ln_init(), **attn(), "cross_ln": ln_init(),
+                   **attn("c"), "mlp_ln": ln_init(),
+                   "fc1": lin(dt, 4 * dt), "fc2": lin(4 * dt, dt)}
+                  for _ in range(dims.n_text_layer)]
+    return {
+        "encoder": {
+            "conv1": {"w": (rng.standard_normal((3, dims.n_mels, d)) * 0.05).astype(dtype),
+                      "b": np.zeros((d,), dtype)},
+            "conv2": {"w": (rng.standard_normal((3, d, d)) * 0.05).astype(dtype),
+                      "b": np.zeros((d,), dtype)},
+            "pos": np.asarray(sinusoids(dims.n_audio_ctx, d), dtype),
+            "blocks": stack(enc_blocks),
+            "ln_post": ln_init(),
+        },
+        "decoder": {
+            "tok_emb": (rng.standard_normal((dims.n_vocab, dt)) * 0.02).astype(dtype),
+            "pos": (rng.standard_normal((dims.n_text_ctx, dt)) * 0.02).astype(dtype),
+            "blocks": stack(dec_blocks),
+            "ln": ln_init(),
+        },
+    }
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10_000.0) -> np.ndarray:
+    """Sinusoidal position embedding (whisper encoder convention).
+    Computed host-side (numpy): it is init-time-only data."""
     assert channels % 2 == 0
     log_timescale_increment = math.log(max_timescale) / (channels // 2 - 1)
-    inv_timescales = jnp.exp(-log_timescale_increment * jnp.arange(channels // 2, dtype=jnp.float32))
-    scaled_time = jnp.arange(length, dtype=jnp.float32)[:, None] * inv_timescales[None, :]
-    return jnp.concatenate([jnp.sin(scaled_time), jnp.cos(scaled_time)], axis=1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2, dtype=np.float32))
+    scaled_time = np.arange(length, dtype=np.float32)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
