@@ -15,7 +15,7 @@ Window-level batching is the right granularity for whisper serving: decode
 lengths are short (tens of tokens per 5-30 s window) and every window
 recomputes cross-KV anyway; token-level admission would add host-device
 sync per step for marginal gain. Throughput scales with batch occupancy —
-see bench.py (B=8 already exceeds 70x realtime on large-v3).
+see bench.py / PERF.md (119x realtime on large-v3 at B=32, int8 cross-KV).
 
 BatchedEngine implements the AsrEngine interface, so it drops into the gRPC
 handler, the task processors, and the REST stack unchanged.
