@@ -36,8 +36,11 @@ def main():
     from speaksense_tpu.models import whisper as W
 
     dims = W.MODEL_DIMS[model_name]
-    params = jax.device_put(jax.tree.map(jnp.asarray, W.init_params_np(dims, dtype=np.dtype("float32"))))
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params)
+    import ml_dtypes
+
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x.astype(ml_dtypes.bfloat16) if x.ndim >= 2 else x),
+        W.init_params_np(dims))
     prompt_len = 3
 
     int8_kv = os.environ.get("BENCH_INT8_KV", "1") not in ("", "0", "false")
