@@ -174,8 +174,12 @@ def init_params_np(dims: WhisperDims, seed: int = 0, dtype=np.float32) -> Params
     rng = np.random.default_rng(seed)
     d, dt = dims.n_audio_state, dims.n_text_state
 
+    def randn(*shape):
+        # f32-native generation: f64 intermediates double memory and time
+        return rng.standard_normal(shape, dtype=np.float32)
+
     def lin(d_in, d_out, bias=True):
-        p = {"w": (rng.standard_normal((d_in, d_out)) / math.sqrt(d_in)).astype(dtype)}
+        p = {"w": (randn(d_in, d_out) / math.sqrt(d_in)).astype(dtype)}
         if bias:
             p["b"] = np.zeros((d_out,), dtype)
         return p
@@ -205,17 +209,17 @@ def init_params_np(dims: WhisperDims, seed: int = 0, dtype=np.float32) -> Params
                   for _ in range(dims.n_text_layer)]
     return {
         "encoder": {
-            "conv1": {"w": (rng.standard_normal((3, dims.n_mels, d)) * 0.05).astype(dtype),
+            "conv1": {"w": (randn(3, dims.n_mels, d) * 0.05).astype(dtype),
                       "b": np.zeros((d,), dtype)},
-            "conv2": {"w": (rng.standard_normal((3, d, d)) * 0.05).astype(dtype),
+            "conv2": {"w": (randn(3, d, d) * 0.05).astype(dtype),
                       "b": np.zeros((d,), dtype)},
             "pos": np.asarray(sinusoids(dims.n_audio_ctx, d), dtype),
             "blocks": stack(enc_blocks),
             "ln_post": ln_init(),
         },
         "decoder": {
-            "tok_emb": (rng.standard_normal((dims.n_vocab, dt)) * 0.02).astype(dtype),
-            "pos": (rng.standard_normal((dims.n_text_ctx, dt)) * 0.02).astype(dtype),
+            "tok_emb": (randn(dims.n_vocab, dt) * 0.02).astype(dtype),
+            "pos": (randn(dims.n_text_ctx, dt) * 0.02).astype(dtype),
             "blocks": stack(dec_blocks),
             "ln": ln_init(),
         },
