@@ -168,60 +168,63 @@ def init_params_np(dims: WhisperDims, seed: int = 0, dtype=np.float32) -> Params
 
     init_params draws each tensor via jax.random on the default device —
     hundreds of tiny programs that a remote-compile TPU environment turns
-    into a 20+ minute cold start. Benchmarks and driver entry points use this
-    host-side initializer instead (one upload per tensor, zero compiles).
+    into a 20+ minute cold start. This host-side initializer generates every
+    stacked per-layer tensor in ONE call (no per-layer allocations/stack
+    copies) — large-v3 inits in seconds.
     """
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(max(seed, 0))
     d, dt = dims.n_audio_state, dims.n_text_state
+    La, Lt = dims.n_audio_layer, dims.n_text_layer
 
-    def randn(*shape):
-        # f32-native generation: f64 intermediates double memory and time
-        return rng.standard_normal(shape, dtype=np.float32)
+    def randn(*shape, scale=1.0):
+        if seed < 0:
+            # zeros mode: np.zeros is calloc-backed (shared zero pages, no
+            # write faults) — the only fast option on hosts with slow
+            # fresh-page writes; used by compile checks where weight values
+            # are irrelevant
+            return np.zeros(shape, dtype)
+        out = rng.standard_normal(shape, dtype=np.float32)
+        if scale != 1.0:
+            out *= np.float32(scale)
+        return out.astype(dtype, copy=False)
 
-    def lin(d_in, d_out, bias=True):
-        p = {"w": (randn(d_in, d_out) / math.sqrt(d_in)).astype(dtype)}
+    def lin_stack(L, d_in, d_out, bias=True):
+        p = {"w": randn(L, d_in, d_out, scale=1.0 / math.sqrt(d_in))}
         if bias:
-            p["b"] = np.zeros((d_out,), dtype)
+            p["b"] = np.zeros((L, d_out), dtype)
         return p
 
-    def ln_init():
-        return {"g": np.ones((d,), dtype), "b": np.zeros((d,), dtype)}
+    def ln_stack(L, dim):
+        return {"g": np.ones((L, dim), dtype), "b": np.zeros((L, dim), dtype)}
 
-    def attn(prefix=""):
-        return {prefix + "q": lin(d, d), prefix + "k": lin(d, d, bias=False),
-                prefix + "v": lin(d, d), prefix + "o": lin(d, d)}
+    def attn_stack(L, dim, prefix=""):
+        return {prefix + "q": lin_stack(L, dim, dim),
+                prefix + "k": lin_stack(L, dim, dim, bias=False),
+                prefix + "v": lin_stack(L, dim, dim),
+                prefix + "o": lin_stack(L, dim, dim)}
 
-    def stack(blocks):
-        out = {}
-        for key in blocks[0]:
-            if isinstance(blocks[0][key], dict):
-                out[key] = stack([b[key] for b in blocks])
-            else:
-                out[key] = np.stack([b[key] for b in blocks])
-        return out
-
-    enc_blocks = [{"attn_ln": ln_init(), **attn(), "mlp_ln": ln_init(),
-                   "fc1": lin(d, 4 * d), "fc2": lin(4 * d, d)}
-                  for _ in range(dims.n_audio_layer)]
-    dec_blocks = [{"attn_ln": ln_init(), **attn(), "cross_ln": ln_init(),
-                   **attn("c"), "mlp_ln": ln_init(),
-                   "fc1": lin(dt, 4 * dt), "fc2": lin(4 * dt, dt)}
-                  for _ in range(dims.n_text_layer)]
+    enc_blocks = {"attn_ln": ln_stack(La, d), **attn_stack(La, d),
+                  "mlp_ln": ln_stack(La, d),
+                  "fc1": lin_stack(La, d, 4 * d), "fc2": lin_stack(La, 4 * d, d)}
+    dec_blocks = {"attn_ln": ln_stack(Lt, dt), **attn_stack(Lt, dt),
+                  "cross_ln": ln_stack(Lt, dt), **attn_stack(Lt, dt, "c"),
+                  "mlp_ln": ln_stack(Lt, dt),
+                  "fc1": lin_stack(Lt, dt, 4 * dt), "fc2": lin_stack(Lt, 4 * dt, dt)}
     return {
         "encoder": {
-            "conv1": {"w": (randn(3, dims.n_mels, d) * 0.05).astype(dtype),
+            "conv1": {"w": randn(3, dims.n_mels, d, scale=0.05),
                       "b": np.zeros((d,), dtype)},
-            "conv2": {"w": (randn(3, d, d) * 0.05).astype(dtype),
+            "conv2": {"w": randn(3, d, d, scale=0.05),
                       "b": np.zeros((d,), dtype)},
             "pos": np.asarray(sinusoids(dims.n_audio_ctx, d), dtype),
-            "blocks": stack(enc_blocks),
-            "ln_post": ln_init(),
+            "blocks": enc_blocks,
+            "ln_post": {"g": np.ones((d,), dtype), "b": np.zeros((d,), dtype)},
         },
         "decoder": {
-            "tok_emb": (randn(dims.n_vocab, dt) * 0.02).astype(dtype),
-            "pos": (randn(dims.n_text_ctx, dt) * 0.02).astype(dtype),
-            "blocks": stack(dec_blocks),
-            "ln": ln_init(),
+            "tok_emb": randn(dims.n_vocab, dt, scale=0.02),
+            "pos": randn(dims.n_text_ctx, dt, scale=0.02),
+            "blocks": dec_blocks,
+            "ln": {"g": np.ones((dt,), dtype), "b": np.zeros((dt,), dtype)},
         },
     }
 
