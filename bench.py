@@ -20,11 +20,71 @@ import time
 import numpy as np
 
 
+def bench_slots(model_name: str, decode_tokens: int):
+    """BENCH_MODE=slots: token-level continuous-batched serving — S concurrent
+    streams submit 30 s windows to the slot pool (BASELINE config 4: 64
+    concurrent streams, paged KV). Reports audio-s/s across the full run
+    (admission encodes + interleaved pool steps), not just the decode loop."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from speaksense_tpu.utils.jaxsetup import init_compilation_cache
+
+    init_compilation_cache()
+
+    from speaksense_tpu.asr.engine import WhisperEngine
+    from speaksense_tpu.config import EngineConfig
+    from speaksense_tpu.models import whisper as W
+    from speaksense_tpu.models.tokenizer import Tokenizer
+    from speaksense_tpu.runtime.slots import StreamingDecodeServer
+
+    slots = int(os.environ.get("BENCH_SLOTS", "64"))
+    n_windows = int(os.environ.get("BENCH_WINDOWS", str(2 * slots)))
+    dims = W.MODEL_DIMS[model_name]
+    params = {  # host-side bf16 (see verify skill: device casts are slow here)
+        k: v for k, v in W.init_params_np(dims).items()
+    }
+    params = jax.tree.map(
+        lambda x: x.astype(ml_dtypes.bfloat16) if x.ndim >= 2 else x, params)
+    tok = Tokenizer.synthetic(dims.n_vocab)
+    engine = WhisperEngine(params, dims, tok,
+                           config=EngineConfig(cross_kv_int8=True))
+    server = StreamingDecodeServer(engine, n_slots=slots, t_mel=3000,
+                                   max_new=decode_tokens, int8_kv=True)
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((3000, dims.n_mels)).astype(np.float32)
+
+    try:
+        # warm both programs (admit + step) before timing
+        server.submit(mel).result(timeout=3600)
+        t0 = time.perf_counter()
+        futs = [server.submit(mel) for _ in range(n_windows)]
+        for f in futs:
+            f.result(timeout=3600)
+        dt = time.perf_counter() - t0
+    finally:
+        server.stop()
+    rtf = n_windows * 30.0 / dt
+    print(json.dumps({
+        "metric": f"{model_name} slot-pool serving real-time factor "
+                  f"({slots} concurrent streams, int8 KV, "
+                  f"{decode_tokens} tok/window)",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 30.0, 2),
+    }))
+
+
 def main():
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
     batch = int(os.environ.get("BENCH_BATCH", "32"))  # best measured config (PERF.md)
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "200"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    if os.environ.get("BENCH_MODE", "") == "slots":
+        return bench_slots(model_name, decode_tokens)
 
     import jax
     import jax.numpy as jnp
@@ -41,15 +101,23 @@ def main():
     params = jax.tree.map(
         lambda x: jnp.asarray(x.astype(ml_dtypes.bfloat16) if x.ndim >= 2 else x),
         W.init_params_np(dims))
+    int8_w = os.environ.get("BENCH_INT8_W", "0") not in ("", "0", "false")
+    if int8_w:
+        params = W.quantize_block_weights(params)
     prompt_len = 3
 
     int8_kv = os.environ.get("BENCH_INT8_KV", "1") not in ("", "0", "false")
+    # off by default: measured 113.7x vs 119.1x bf16 self-KV at B=32 (PERF.md) —
+    # the byte saving loses to quantize/select overhead; it exists for slot-pool
+    # memory headroom (64 large-v3 slots), not window-batch speed
+    int8_self_kv = os.environ.get("BENCH_INT8_SELF_KV", "0") not in ("", "0", "false")
 
     def window_step(params, mel, prompt):
         """encode + cross-KV + prefill + fixed-length decode (the per-window
         serving pipeline, minus host-side logit rules which are O(vocab) adds)."""
         enc = W.encode(params, dims, mel)
-        cache = W.init_cache(dims, mel.shape[0], enc.shape[1], dtype=jnp.bfloat16)
+        cache = W.init_cache(dims, mel.shape[0], enc.shape[1], dtype=jnp.bfloat16,
+                             self_kv_int8=int8_self_kv)
         ck, cv = W.compute_cross_kv(params, dims, enc, dtype=jnp.bfloat16)
         if int8_kv:
             kq, vq, ks, vs = W.quantize_cross_kv(ck, cv)
@@ -57,6 +125,8 @@ def main():
                      "cross_k_scale": ks, "cross_v_scale": vs}
         else:
             cache = {**cache, "cross_k": ck, "cross_v": cv}
+        # uniform_pos stays False: the batchwide-DUS write makes XLA re-layout
+        # the self-KV Dh-minor (2x pad) + double-buffer it -> OOM at B=32
         logits, cache = W.decode_prefill(params, dims, prompt, cache)
         tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
@@ -73,13 +143,17 @@ def main():
         (batch, 3000, dims.n_mels)).astype(np.float32), jnp.bfloat16)
     prompt = jnp.zeros((batch, prompt_len), jnp.int32)
 
-    # compile + warmup
-    jax.block_until_ready(fn(params, mel, prompt))
+    # compile + warmup. NOTE: timing forces a device->host fetch of the (B,)
+    # token result rather than block_until_ready — on the remote-relay axon
+    # backend block_until_ready returns at enqueue time (measured: a 4096^3
+    # matmul "completes" in 230 us), so only a value fetch bounds execution.
+    # The fetch is ~128 bytes; serving fetches the same tokens per window.
+    np.asarray(fn(params, mel, prompt))
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(params, mel, prompt))
+        np.asarray(fn(params, mel, prompt))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     audio_seconds = batch * 30.0
@@ -88,7 +162,9 @@ def main():
     print(json.dumps({
         "metric": f"{model_name} batched transcription real-time factor (audio-s/s/chip, "
                   f"B={batch}, {decode_tokens} tok/window"
-                  f"{', int8 cross-KV' if int8_kv else ''})",
+                  f"{', int8 cross-KV' if int8_kv else ''}"
+                  f"{', int8 self-KV' if int8_self_kv else ''}"
+                  f"{', int8 weights' if int8_w else ''})",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 30.0, 2),

@@ -73,6 +73,10 @@ class WhisperEngine(AsrEngine):
             return x.astype(dtype) if x.ndim >= 2 else x.astype(jnp.float32)
 
         self.params = jax.tree.map(to_dev, params)
+        if self.config.weights_int8:
+            # int8 decoder block weights (whisper.cpp ships q5/q8 ggml models
+            # the same way; per-out-channel scales here)
+            self.params = W.quantize_block_weights(self.params)
         self.mel_filters = (np.asarray(mel_filters, np.float32)
                             if mel_filters is not None else MEL.mel_filter_bank(dims.n_mels))
         # suppression mask variants (device-resident)
@@ -231,10 +235,12 @@ class WhisperEngine(AsrEngine):
                 max_initial_ts=self.config.max_initial_ts, max_new_tokens=max_new)
             n_audio_ctx = min(t_mel // 2, self.dims.n_audio_ctx)
 
-            def run(params, suppress, mel_f32, prompt):
+            def run(params, suppress, mel_f32, prompt, prompt_len, sot_index):
                 return transcribe_window_beam(params, self.dims, cfg, suppress, mel_f32,
                                               prompt, beam_size=beam_size,
-                                              n_audio_ctx=n_audio_ctx)
+                                              n_audio_ctx=n_audio_ctx,
+                                              prompt_len=prompt_len,
+                                              sot_index=sot_index)
 
             fn = jax.jit(run)
             self._jit_cache[key] = fn
@@ -293,12 +299,13 @@ class WhisperEngine(AsrEngine):
 
         for attempt in range(len(schedule)):
             key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
-            if (beam_size and beam_size > 1 and attempt == 0 and not temps.any()
-                    and P == len(prompt_ids)):  # beam+context lands later
-                # beam search at t=0 (whisper falls back to sampling at t>0)
-                bfn = self._beam_fn(B, len(prompt_ids), T_mel, with_timestamps,
+            if beam_size and beam_size > 1 and attempt == 0 and not temps.any():
+                # beam search at t=0 (whisper falls back to sampling at t>0);
+                # variable-length conditioning prompts ride the same
+                # prompt_len/sot_index contract as the greedy path
+                bfn = self._beam_fn(B, P, T_mel, with_timestamps,
                                     max_new, beam_size)
-                out = bfn(self.params, suppress, mels, prompt)
+                out = bfn(self.params, suppress, mels, prompt, prompt_len, sot_index)
             else:
                 out = fn(self.params, suppress, mels, prompt, prompt_len, sot_index,
                          jnp.asarray(temps), key)
@@ -517,15 +524,25 @@ class WhisperEngine(AsrEngine):
             return result
 
     def enable_slot_serving(self, n_slots: int | None = None,
-                            t_mel: int = 512, max_new: int = 96) -> None:
+                            t_mel: int = 512, max_new: int = 96,
+                            int8_kv: bool | None = None) -> None:
         """Route streaming chunks through the token-level slot pool
         (runtime/slots.py): concurrent gRPC streams then join/leave the
-        decode batch at token granularity instead of window granularity."""
+        decode batch at token granularity instead of window granularity.
+        int8_kv defaults to the engine's cross_kv_int8 config (int8 pools
+        halve KV HBM — 64 large-v3 slots on one 16 GB chip)."""
         from speaksense_tpu.runtime.slots import StreamingDecodeServer
 
         self._slot_server = StreamingDecodeServer(
             self, n_slots=n_slots or self.config.stream_slots,
-            t_mel=t_mel, max_new=max_new)
+            t_mel=t_mel, max_new=max_new,
+            int8_kv=self.config.cross_kv_int8 if int8_kv is None else int8_kv)
+
+    def disable_slot_serving(self) -> None:
+        server = getattr(self, "_slot_server", None)
+        if server is not None:
+            server.stop()
+            self._slot_server = None
 
     def _transcribe_stream_chunk(self, audio, params: AsrParams,
                                  decode_window=None) -> TranscribeResult:
@@ -535,8 +552,11 @@ class WhisperEngine(AsrEngine):
         bucket = self._mel_bucket(n_frames)
         mel = self.compute_mel(audio, pad_to=bucket)
         language = params.language or "en"
+        # slot serving takes precedence over the window batcher for stream
+        # chunks: token-granularity admission beats window coalescing when
+        # many streams are mid-decode
         server = getattr(self, "_slot_server", None)
-        if server is not None and decode_window is None and bucket == server.pool.t_mel:
+        if server is not None and bucket == server.pool.t_mel:
             raw = server.submit(np.asarray(mel)[0], language=language,
                                 task=params.task).result()
             window_dur = audio.size / SAMPLE_RATE

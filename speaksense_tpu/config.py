@@ -65,6 +65,7 @@ class EngineConfig:
     # numerics
     compute_dtype: str = "bfloat16"
     cross_kv_int8: bool = False     # int8 cross-attention KV (2x less decode HBM traffic)
+    weights_int8: bool = False      # int8 decoder block weights (per-out-channel scales)
     # convert-once weight cache directory
     weight_cache_dir: str = "./asr_data/weights_cache"
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import asyncio
 import logging
+import signal
 
 from speaksense_tpu.config import Config
 from speaksense_tpu.utils import logging as logsetup
@@ -55,7 +56,8 @@ def build_context(config: Config, engine):
     return AppContext(auth=auth, task_manager=manager), scheduler
 
 
-async def serve(config: Config, fake_engine: bool = False) -> None:
+async def serve(config: Config, fake_engine: bool = False,
+                slot_serving: bool = False) -> None:
     from speaksense_tpu.registry.etcd import EtcdRegistry
     from speaksense_tpu.serving.grpc_server import GrpcServer
     from speaksense_tpu.serving.rest import start_server
@@ -64,7 +66,17 @@ async def serve(config: Config, fake_engine: bool = False) -> None:
 
     init_compilation_cache()
     config.init_dirs()
+    if not fake_engine:
+        # multi-host DP over DCN: no-op unless SPEAKSENSE_COORDINATOR /
+        # _NUM_PROCESSES / _PROCESS_ID are set; each host registers its own
+        # etcd node below (clients load-balance go-micro style)
+        from speaksense_tpu.parallel import init_distributed
+
+        init_distributed()
     engine = build_engine(config, fake=fake_engine)
+    inner = getattr(engine, "engine", engine)
+    if slot_serving and hasattr(inner, "enable_slot_serving"):
+        inner.enable_slot_serving()
     ctx, scheduler = build_context(config, engine)
 
     registry = EtcdRegistry(config.etcd_endpoint)
@@ -78,12 +90,34 @@ async def serve(config: Config, fake_engine: bool = False) -> None:
 
     runner = await start_server(ctx, port=config.http_port)
     log.info("SpeakSense-TPU up: gRPC :%d, REST :%d", config.grpc_port, config.http_port)
+
+    # graceful shutdown: SIGTERM/SIGINT deregisters from etcd, stops claiming
+    # new tasks, and drains the batcher/slot pool before exiting (the
+    # reference has no drain path; streams just die — SURVEY §5)
+    stop_event = asyncio.Event()
+    loop = asyncio.get_running_loop()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            loop.add_signal_handler(sig, stop_event.set)
+        except (NotImplementedError, RuntimeError):  # pragma: no cover
+            pass
+    wait_task = asyncio.create_task(grpc_server.wait())
+    stop_task = asyncio.create_task(stop_event.wait())
     try:
-        await grpc_server.wait()
+        await asyncio.wait({wait_task, stop_task},
+                           return_when=asyncio.FIRST_COMPLETED)
+        if stop_event.is_set():
+            log.info("shutdown signal received; draining")
     finally:
         scheduler.stop()
+        if hasattr(engine, "stop"):
+            engine.stop()          # window batcher: finish in-flight batch
+        if hasattr(inner, "disable_slot_serving"):
+            inner.disable_slot_serving()
         await grpc_server.stop()
         await runner.cleanup()
+        for t in (wait_task, stop_task):
+            t.cancel()
 
 
 def main() -> None:
@@ -98,8 +132,14 @@ def main() -> None:
                              "with --int8-kv is the measured-best large-v3 config)")
     parser.add_argument("--int8-kv", action="store_true",
                         help="int8 cross-attention KV (2x less decode HBM traffic)")
+    parser.add_argument("--int8-weights", action="store_true",
+                        help="int8 decoder block weights (per-out-channel scales)")
     parser.add_argument("--beam-size", type=int, default=None,
                         help="beam search width at t=0 (default greedy)")
+    parser.add_argument("--slot-serving", action="store_true",
+                        help="route streaming chunks through the token-level "
+                             "slot pool (runtime/slots.py) instead of the "
+                             "window batcher")
     args = parser.parse_args()
 
     config = Config.from_env()
@@ -113,11 +153,14 @@ def main() -> None:
         config.engine.max_batch_size = args.batch
     if args.int8_kv:
         config.engine.cross_kv_int8 = True
+    if args.int8_weights:
+        config.engine.weights_int8 = True
     if args.beam_size:
         config.engine.beam_size = args.beam_size
 
     logsetup.init(config.log_dir)
-    asyncio.run(serve(config, fake_engine=args.fake_engine))
+    asyncio.run(serve(config, fake_engine=args.fake_engine,
+                      slot_serving=args.slot_serving))
 
 
 if __name__ == "__main__":

@@ -65,10 +65,14 @@ def _beam_block_factory(dims: W.WhisperDims, B: int, K: int):
 
 def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
                 suppress_mask: jax.Array, enc_out: jax.Array, prompt: jax.Array,
-                beam_size: int = 5):
+                beam_size: int = 5, prompt_len: jax.Array | None = None,
+                sot_index: int | jax.Array = 0):
     """Beam-search one batch of windows.
 
-    enc_out: (B, A, d) encoder states; prompt: (B, P) int32.
+    enc_out: (B, A, d) encoder states; prompt: (B, P) int32. Variable-length
+    prompts (previous-text conditioning) are RIGHT-padded with prompt_len (B,)
+    marking true lengths, same contract as decode.transcribe_window;
+    sot_index (B,) locates <|sot|> per row for the no-speech probability.
     Returns dict(tokens (B, max_new), n_sampled (B,), sum_logprob (B,),
     avg_logprob (B,), no_speech_prob (B,)) for the best hypothesis per row.
     """
@@ -84,9 +88,15 @@ def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
     rep = lambda x: jnp.repeat(x, K, axis=1)
     cache_rep = {**cache, "cross_k": rep(ck), "cross_v": rep(cv)}
     prompt_rep = jnp.repeat(prompt, K, axis=0)
-    prefill_logits, cache_rep = W.decode_prefill(params, dims, prompt_rep, cache_rep)
-    no_speech_prob = jax.nn.softmax(
-        prefill_logits[::K, 0].astype(jnp.float32), axis=-1)[:, cfg.no_speech]
+    pl_rep = None if prompt_len is None else jnp.repeat(prompt_len, K, axis=0)
+    prefill_logits, cache_rep = W.decode_prefill(params, dims, prompt_rep, cache_rep,
+                                                 prompt_len=pl_rep)
+    sot_idx = jnp.broadcast_to(jnp.asarray(sot_index, jnp.int32), (B,))
+    sot_logits = prefill_logits[::K][jnp.arange(B), sot_idx].astype(jnp.float32)
+    no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, cfg.no_speech]
+    last_idx = (jnp.broadcast_to(jnp.asarray(P if prompt_len is None else pl_rep),
+                                 (B * K,)) - 1).astype(jnp.int32)
+    first_logits = prefill_logits[jnp.arange(B * K), last_idx]
 
     block = _beam_block_factory(dims, B, K)
 
@@ -108,7 +118,7 @@ def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
     init_scores = jnp.tile(jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF)[None, :], (B, 1))
     state = dict(
         step=jnp.array(0, jnp.int32),
-        logits=prefill_logits[:, -1],            # (BK, V)
+        logits=first_logits,                     # (BK, V)
         cache=live_cache,
         tokens=jnp.full((B, K, L), cfg.eot, jnp.int32),
         scores=init_scores,                      # (B, K) cumulative logprob
@@ -188,7 +198,10 @@ def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
 
 def transcribe_window_beam(params, dims: W.WhisperDims, cfg: RuleConfig,
                            suppress_mask: jax.Array, mel: jax.Array, prompt: jax.Array,
-                           beam_size: int = 5, n_audio_ctx: int | None = None):
+                           beam_size: int = 5, n_audio_ctx: int | None = None,
+                           prompt_len: jax.Array | None = None,
+                           sot_index: int | jax.Array = 0):
     """Beam-search counterpart of decode.transcribe_window."""
     enc = W.encode(params, dims, mel, n_ctx_out=n_audio_ctx)
-    return beam_decode(params, dims, cfg, suppress_mask, enc, prompt, beam_size)
+    return beam_decode(params, dims, cfg, suppress_mask, enc, prompt, beam_size,
+                       prompt_len=prompt_len, sot_index=sot_index)

@@ -126,7 +126,7 @@ def _sample(logits: jax.Array, temperature: jax.Array, key: jax.Array) -> jax.Ar
 
 def decode_loop(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mask: jax.Array,
                 first_logits: jax.Array, cache: dict, temperature: jax.Array,
-                key: jax.Array):
+                key: jax.Array, uniform_pos: bool = False):
     """Run the sampling loop from the post-prompt logits until every slot
     emits EOT (or max_new_tokens). Returns dict of
       tokens (B, max_new) — sampled tokens, EOT-padded,
@@ -169,7 +169,8 @@ def decode_loop(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mask: jax
         upd = active & ~newly_done
 
         # next-step logits (runs for all slots; finished slots are ignored)
-        logits, cache = W.decode_step(params, dims, tok, s["cache"])
+        logits, cache = W.decode_step(params, dims, tok, s["cache"],
+                                      uniform_pos=uniform_pos)
 
         return dict(
             step=s["step"] + 1,
@@ -194,7 +195,8 @@ def transcribe_window(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mas
                       key: jax.Array, sot_index: int | jax.Array = 0,
                       n_audio_ctx: int | None = None,
                       prompt_len: jax.Array | None = None,
-                      cross_kv_int8: bool = False):
+                      cross_kv_int8: bool = False,
+                      self_kv_int8: bool = False):
     """Encode one batch of 30 s windows and decode them to tokens.
 
     mel (B, T_mel, n_mels); prompt (B, P) int32. Variable-length prompts
@@ -208,7 +210,9 @@ def transcribe_window(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mas
     """
     B, P = prompt.shape
     enc = W.encode(params, dims, mel, n_ctx_out=n_audio_ctx)
-    cache = W.init_cache(dims, mel.shape[0], enc.shape[1], dtype=params["decoder"]["tok_emb"].dtype)
+    cache = W.init_cache(dims, mel.shape[0], enc.shape[1],
+                         dtype=params["decoder"]["tok_emb"].dtype,
+                         self_kv_int8=self_kv_int8)
     ck, cv = W.compute_cross_kv(params, dims, enc, dtype=cache["cross_k"].dtype)
     if cross_kv_int8:
         # per-channel int8 cross-KV: halves the dominant decode-time HBM
@@ -219,8 +223,15 @@ def transcribe_window(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mas
     else:
         cache = {**cache, "cross_k": ck, "cross_v": cv}
 
+    # NOTE: uniform_pos (batchwide-DUS KV writes) stays OFF here even though
+    # window batches qualify: on TPU, XLA's layout assignment reacts to the
+    # batchwide time-offset DUS by flipping the self-KV cache to a Dh-minor
+    # layout (2x padding) and double-buffering it — +2.2 GB HBM and an OOM at
+    # the B=32 large-v3 config (PERF.md "uniform-pos experiment").
+    uniform = False
     prefill_logits, cache = W.decode_prefill(params, dims, prompt, cache,
-                                             prompt_len=prompt_len)
+                                             prompt_len=prompt_len,
+                                             uniform_pos=uniform)
     rows = jnp.arange(B)
     sot_idx = jnp.broadcast_to(jnp.asarray(sot_index, jnp.int32), (B,))
     sot_logits = prefill_logits[rows, sot_idx].astype(jnp.float32)
@@ -230,7 +241,7 @@ def transcribe_window(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mas
                                  (B,)) - 1).astype(jnp.int32)
     first_logits = prefill_logits[rows, last_idx]
     out = decode_loop(params, dims, cfg, suppress_mask, first_logits, cache,
-                      temperature, key)
+                      temperature, key, uniform_pos=uniform)
     denom = (out["n_sampled"] + 1).astype(jnp.float32)
     out["avg_logprob"] = out["sum_logprob"] / denom
     out["no_speech_prob"] = no_speech_prob

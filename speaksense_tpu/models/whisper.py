@@ -253,7 +253,14 @@ def _ln(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
 
 
 def _linear(x: jax.Array, p: Params) -> jax.Array:
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "wq" in p:
+        # int8 weight with per-output-channel scale: y = (x @ w_q) * s + b.
+        # The dequant folds into the f32 output exactly; the int8 tensor is
+        # the only weight HBM read (see quantize_block_weights).
+        y = jnp.dot(x, p["wq"].astype(x.dtype), preferred_element_type=jnp.float32)
+        y = y * p["ws"].astype(jnp.float32)
+    else:
+        y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)
@@ -375,7 +382,8 @@ def encode(params: Params, dims: WhisperDims, mel: jax.Array, n_ctx_out: int | N
 # decoder — KV cache for continuous batching
 # ---------------------------------------------------------------------------
 
-def init_cache(dims: WhisperDims, batch: int, n_audio_ctx: int | None = None, dtype=jnp.bfloat16) -> Params:
+def init_cache(dims: WhisperDims, batch: int, n_audio_ctx: int | None = None, dtype=jnp.bfloat16,
+               self_kv_int8: bool = False) -> Params:
     """Statically-shaped decode state for `batch` slots.
 
     KV is stored TIME-MINOR — self (L, B, H, Dh, n_text_ctx), cross
@@ -385,28 +393,89 @@ def init_cache(dims: WhisperDims, batch: int, n_audio_ctx: int | None = None, dt
     minor pads 1500->1536 (2.4%) instead, and the decode attention contracts
     q @ K and V @ w without any transpose.
 
+    self_kv_int8: store the self-attention KV int8, quantized at write time
+    with one f32 scale per written token (per (layer, slot, head, t));
+    scales live in (L, B, H, T) tensors (~1.5% the KV bytes) and fold
+    exactly into the attention math (see _cached_attention_q8t). Halves the
+    self-KV footprint and per-step read traffic vs bf16.
+
     pos: (B,) int32 — per-slot write offset: slots decode at different
       offsets inside one compiled step.
     """
     L, H, Dh = dims.n_text_layer, dims.n_text_head, dims.n_text_state // dims.n_text_head
     A = n_audio_ctx if n_audio_ctx is not None else dims.n_audio_ctx
-    return {
-        "self_k": jnp.zeros((L, batch, H, Dh, dims.n_text_ctx), dtype),
-        "self_v": jnp.zeros((L, batch, H, Dh, dims.n_text_ctx), dtype),
+    T = dims.n_text_ctx
+    cache = {
+        "self_k": jnp.zeros((L, batch, H, Dh, T), jnp.int8 if self_kv_int8 else dtype),
+        "self_v": jnp.zeros((L, batch, H, Dh, T), jnp.int8 if self_kv_int8 else dtype),
         "cross_k": jnp.zeros((L, batch, H, Dh, A), dtype),
         "cross_v": jnp.zeros((L, batch, H, Dh, A), dtype),
         "pos": jnp.zeros((batch,), jnp.int32),
     }
+    if self_kv_int8:
+        cache["self_k_scale"] = jnp.zeros((L, batch, H, T), jnp.float32)
+        cache["self_v_scale"] = jnp.zeros((L, batch, H, T), jnp.float32)
+    return cache
 
 
-def _write_kv(cache_k: jax.Array, new_k: jax.Array, pos: jax.Array) -> jax.Array:
+def _write_kv(cache_k: jax.Array, new_k: jax.Array, pos: jax.Array,
+              uniform_pos: bool = False) -> jax.Array:
     """Scatter new keys at per-slot offsets along the minor (time) axis.
-    cache_k: (B, H, Dh, T_max); new_k: (B, H, T_new, Dh); pos: (B,) int32."""
+    cache_k: (B, H, Dh, T_max); new_k: (B, H, T_new, Dh); pos: (B,) int32.
+
+    uniform_pos=True asserts every slot writes at the SAME offset (window-
+    batched decode: all rows start and step together), turning the write
+    into ONE batchwide dynamic_update_slice. The general per-slot form is a
+    vmap'd DUS that XLA lowers to a serial B-iteration "sunk" while loop
+    per layer per tensor — measured as the dominant decode overhead at B=32
+    (PERF.md). Only the token-level slot pool needs the general form."""
+    new_t = jnp.swapaxes(new_k, -1, -2)
+    if uniform_pos:
+        z = jnp.zeros((), jnp.int32)
+        return jax.lax.dynamic_update_slice(cache_k, new_t, (z, z, z, pos[0]))
 
     def upd(c, n, p):
         return jax.lax.dynamic_update_slice(c, n, (0, 0, p))
 
-    return jax.vmap(upd)(cache_k, jnp.swapaxes(new_k, -1, -2), pos)
+    return jax.vmap(upd)(cache_k, new_t, pos)
+
+
+def _write_scale(cache_s: jax.Array, new_s: jax.Array, pos: jax.Array,
+                 uniform_pos: bool = False) -> jax.Array:
+    """Scatter per-token KV scales at per-slot offsets.
+    cache_s: (B, H, T_max) f32; new_s: (B, H, P) f32; pos: (B,) int32.
+
+    The hot path (P == 1, every decode step) is a full-tensor select: XLA
+    lowers the per-slot-offset vmap-DUS into a serial B-iteration "sunk"
+    while loop (seen in the decode-step HLO), which costs more in launch
+    overhead than rewriting this whole ~37 MB tensor does in bandwidth.
+    (A take_along_axis gather formulation measured 4x WORSE than the DUS
+    loop — TPU gathers over a (B,H,T) index tensor are slow; the KV tensors
+    themselves stay on the DUS path, where a full rewrite would be ~0.6 GB
+    per tensor per step.) Prefill (P > 1) keeps vmap-DUS: it runs once per
+    window, so the serial loop amortizes."""
+    B, H, P = new_s.shape
+    if uniform_pos:
+        z = jnp.zeros((), jnp.int32)
+        return jax.lax.dynamic_update_slice(cache_s, new_s, (z, z, pos[0]))
+    if P == 1:
+        sel = jnp.arange(cache_s.shape[-1])[None, None, :] == pos[:, None, None]
+        return jnp.where(sel, new_s, cache_s)
+
+    def upd(c, n, p):
+        return jax.lax.dynamic_update_slice(c, n, (0, p))
+
+    return jax.vmap(upd)(cache_s, new_s, pos)
+
+
+def _quantize_kv_rows(x: jax.Array):
+    """Symmetric per-token int8 quantization of new KV rows.
+    x: (B, H, P, Dh) -> (int8 (B, H, P, Dh), f32 scales (B, H, P))."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale[..., 0]
 
 
 def _cached_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -439,55 +508,182 @@ def _cached_attention_q8(q: jax.Array, kq: jax.Array, vq: jax.Array,
     return (out * jnp.swapaxes(vs, -1, -2)).astype(q.dtype)
 
 
+def _joint_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                            k_new: jax.Array, v_new: jax.Array,
+                            pos: jax.Array) -> jax.Array:
+    """Single-query self-attention over cached KV (strictly below pos) PLUS
+    the current token's k/v as one extra softmax column — mathematically
+    identical to writing k/v at pos first and attending to keys <= pos, but
+    WITHOUT the per-layer cache write. The write is deferred and batched
+    across all layers after the scan (see decode_step): the per-layer vmap'd
+    per-slot dynamic_update_slice lowers to a serial B-iteration loop and
+    measured 22 of 34 ms/step at B=32 on large-v3 (PERF.md ablation).
+
+    q, k_new, v_new: (B, H, 1, Dh); k_cache/v_cache: (B, H, Dh, T); pos: (B,).
+    """
+    T = k_cache.shape[-1]
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhpd,bhdt->bhpt", q, k_cache.astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+    t_idx = jnp.arange(T)[None, None, None, :]
+    logits = jnp.where(t_idx < pos[:, None, None, None], logits, -1e30)
+    logit_self = jnp.sum(q.astype(jnp.float32) * k_new.astype(jnp.float32),
+                         axis=-1, keepdims=True) * scale       # (B, H, 1, 1)
+    joint = jax.nn.softmax(jnp.concatenate([logits, logit_self], axis=-1), axis=-1)
+    wc, ws = joint[..., :T].astype(q.dtype), joint[..., T:]
+    out = jnp.einsum("bhpt,bhdt->bhpd", wc, v_cache.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    out = out + ws * v_new.astype(jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _joint_decode_attention_q8t(q: jax.Array, kq: jax.Array, vq: jax.Array,
+                                ks: jax.Array, vs: jax.Array,
+                                k_new: jax.Array, v_new: jax.Array,
+                                pos: jax.Array) -> jax.Array:
+    """Deferred-write joint attention over the int8 per-token-scaled self-KV
+    cache plus the current token's (full-precision) k/v column.
+    q, k_new, v_new (B,H,1,Dh); kq/vq int8 (B,H,Dh,T); ks/vs f32 (B,H,T)."""
+    T = kq.shape[-1]
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhpd,bhdt->bhpt", q, kq.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    logits = logits * (ks[:, :, None, :] * scale)
+    t_idx = jnp.arange(T)[None, None, None, :]
+    logits = jnp.where(t_idx < pos[:, None, None, None], logits, -1e30)
+    logit_self = jnp.sum(q.astype(jnp.float32) * k_new.astype(jnp.float32),
+                         axis=-1, keepdims=True) * scale
+    joint = jax.nn.softmax(jnp.concatenate([logits, logit_self], axis=-1), axis=-1)
+    wc = (joint[..., :T] * vs[:, :, None, :]).astype(q.dtype)
+    ws = joint[..., T:]
+    out = jnp.einsum("bhpt,bhdt->bhpd", wc, vq.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    out = out + ws * v_new.astype(jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _cached_attention_q8t(q: jax.Array, kq: jax.Array, vq: jax.Array,
+                          ks: jax.Array, vs: jax.Array,
+                          mask: jax.Array | None) -> jax.Array:
+    """Attention over int8 time-minor KV with PER-TOKEN scales (the
+    write-time-quantized self-KV). q (B,H,P,Dh); kq/vq int8 (B,H,Dh,T);
+    ks/vs f32 (B,H,T). Exact folding: a key scale multiplies its logit
+    column; a value scale multiplies its softmax weight before the V matmul:
+      logits[:, t] = (q @ kq[:, t]) * ks[t]
+      out = (w * vs) @ vq
+    """
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhpd,bhdt->bhpt", q, kq.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    logits = logits * (ks[:, :, None, :] * scale)
+    if mask is not None:
+        logits = jnp.where(mask, logits, -1e30)
+    weights = jax.nn.softmax(logits, axis=-1)
+    weights = (weights * vs[:, :, None, :]).astype(q.dtype)
+    return jnp.einsum("bhpt,bhdt->bhpd", weights, vq.astype(q.dtype),
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 def _pallas_decode_enabled() -> bool:
     import os
 
     return os.environ.get("SPEAKSENSE_PALLAS_DECODE", "") not in ("", "0", "false")
 
 
-def _dec_block_factory(dims: WhisperDims, quantized: bool = False):
+def _dec_block_factory(dims: WhisperDims, cross_quant: bool = False,
+                       self_quant: bool = False, uniform_pos: bool = False,
+                       defer_write: bool = False):
     n_head = dims.n_text_head
 
     def block(carry, xs):
         x, pos, mask = carry
-        if quantized:
-            bp, sk, sv, ck, cv, cks, cvs = xs
-        else:
-            bp, sk, sv, ck, cv = xs
+        bp = xs["bp"]
         single_step = x.shape[1] == 1
-        use_pallas = single_step and _pallas_decode_enabled()
+        use_pallas = single_step and not self_quant and _pallas_decode_enabled()
         # self-attention with cache (time-minor KV)
         h = _ln(x, bp["attn_ln"])
         q = _split_heads(_linear(h, bp["q"]), n_head)
         k_new = _split_heads(_linear(h, bp["k"]), n_head)
         v_new = _split_heads(_linear(h, bp["v"]), n_head)
-        sk = _write_kv(sk, k_new.astype(sk.dtype), pos)
-        sv = _write_kv(sv, v_new.astype(sv.dtype), pos)
-        if use_pallas:
-            from speaksense_tpu.ops.decode_attention import decode_self_attention
-
-            attn = decode_self_attention(q[:, :, 0, :], sk, sv, pos + 1)[:, :, None, :]
+        out = {}
+        if defer_write and self_quant:
+            attn = _joint_decode_attention_q8t(q, xs["sk"], xs["sv"],
+                                               xs["sks"], xs["svs"],
+                                               k_new, v_new, pos)
+            kq, ksc = _quantize_kv_rows(k_new)
+            vq, vsc = _quantize_kv_rows(v_new)
+            out.update(k_new=jnp.swapaxes(kq, -1, -2),
+                       v_new=jnp.swapaxes(vq, -1, -2),
+                       ks_new=ksc, vs_new=vsc)
+        elif defer_write:
+            # no cache write in-layer: joint attention over stale cache + the
+            # new token; k/v emitted as scan outputs, written batched across
+            # layers afterwards (decode_step)
+            attn = _joint_decode_attention(q, xs["sk"], xs["sv"], k_new, v_new, pos)
+            out.update(k_new=jnp.swapaxes(k_new, -1, -2).astype(xs["sk"].dtype),
+                       v_new=jnp.swapaxes(v_new, -1, -2).astype(xs["sv"].dtype))
+        elif self_quant:
+            kq, ksc = _quantize_kv_rows(k_new)
+            vq, vsc = _quantize_kv_rows(v_new)
+            sk = _write_kv(xs["sk"], kq, pos, uniform_pos)
+            sv = _write_kv(xs["sv"], vq, pos, uniform_pos)
+            sks = _write_scale(xs["sks"], ksc, pos, uniform_pos)
+            svs = _write_scale(xs["svs"], vsc, pos, uniform_pos)
+            attn = _cached_attention_q8t(q, sk, sv, sks, svs, mask)
+            out.update(sks=sks, svs=svs)
         else:
-            attn = _cached_attention(q, sk.astype(q.dtype), sv.astype(q.dtype), mask)
+            sk = _write_kv(xs["sk"], k_new.astype(xs["sk"].dtype), pos, uniform_pos)
+            sv = _write_kv(xs["sv"], v_new.astype(xs["sv"].dtype), pos, uniform_pos)
+            if use_pallas:
+                from speaksense_tpu.ops.decode_attention import decode_self_attention
+
+                attn = decode_self_attention(q[:, :, 0, :], sk, sv, pos + 1)[:, :, None, :]
+            else:
+                attn = _cached_attention(q, sk.astype(q.dtype), sv.astype(q.dtype), mask)
+        if not defer_write:
+            out.update(sk=sk, sv=sv)
         x = x + _linear(_merge_heads(attn), bp["o"])
         # cross-attention over precomputed encoder KV
         h = _ln(x, bp["cross_ln"])
         cq = _split_heads(_linear(h, bp["cq"]), n_head)
-        if quantized:
-            cattn = _cached_attention_q8(cq, ck, cv, cks, cvs, None)
+        if cross_quant:
+            cattn = _cached_attention_q8(cq, xs["ck"], xs["cv"], xs["cks"], xs["cvs"], None)
         elif use_pallas:
             from speaksense_tpu.ops.decode_attention import decode_cross_attention
 
-            cattn = decode_cross_attention(cq[:, :, 0, :], ck, cv)[:, :, None, :]
+            cattn = decode_cross_attention(cq[:, :, 0, :], xs["ck"], xs["cv"])[:, :, None, :]
         else:
-            cattn = _cached_attention(cq, ck.astype(cq.dtype), cv.astype(cq.dtype), None)
+            cattn = _cached_attention(cq, xs["ck"].astype(cq.dtype), xs["cv"].astype(cq.dtype), None)
         x = x + _linear(_merge_heads(cattn), bp["co"])
         # mlp
         h = _ln(x, bp["mlp_ln"])
         x = x + _linear(jax.nn.gelu(_linear(h, bp["fc1"]), approximate=False), bp["fc2"])
-        return (x, pos, mask), (sk, sv)
+        return (x, pos, mask), out
 
     return block
+
+
+def _dec_scan_xs(params: Params, cache: Params):
+    """Assemble the per-layer scan inputs from a cache dict; returns
+    (xs, cross_quant, self_quant)."""
+    cross_quant = "cross_k_scale" in cache
+    self_quant = "self_k_scale" in cache
+    xs = {"bp": params["decoder"]["blocks"],
+          "sk": cache["self_k"], "sv": cache["self_v"],
+          "ck": cache["cross_k"], "cv": cache["cross_v"]}
+    if cross_quant:
+        xs.update(cks=cache["cross_k_scale"], cvs=cache["cross_v_scale"])
+    if self_quant:
+        xs.update(sks=cache["self_k_scale"], svs=cache["self_v_scale"])
+    return xs, cross_quant, self_quant
+
+
+def _dec_scan_out_to_cache(cache: Params, out: dict, new_pos: jax.Array) -> Params:
+    cache = {**cache, "self_k": out["sk"], "self_v": out["sv"], "pos": new_pos}
+    if "sks" in out:
+        cache["self_k_scale"] = out["sks"]
+        cache["self_v_scale"] = out["svs"]
+    return cache
 
 
 def compute_cross_kv(params: Params, dims: WhisperDims, enc_out: jax.Array, dtype=jnp.bfloat16):
@@ -504,6 +700,45 @@ def compute_cross_kv(params: Params, dims: WhisperDims, enc_out: jax.Array, dtyp
 
     ks, vs = jax.lax.map(per_layer, params["decoder"]["blocks"])
     return ks, vs
+
+
+def quantize_block_weights(params: Params, encoder: bool = False) -> Params:
+    """Symmetric per-output-channel int8 quantization of the transformer
+    block linear weights (the stacked (L, d_in, d_out) tensors): each "w"
+    becomes int8 "wq" + f32 "ws" (L, 1, d_out). Decoder blocks are read
+    every decode step (~1.5 GB/step bf16 for large-v3) — int8 halves that;
+    the encoder runs once per window (compute-bound), so it is quantized
+    only on request. Embeddings/layer norms stay full precision.
+
+    Same recipe as whisper.cpp's q8_0 weights (the reference's download
+    script fetches -q5/-q8 variants, download-ggml-model.sh:28-54) but with
+    per-channel instead of per-32-block scales.
+    """
+    import numpy as onp
+
+    def quant_tree(blocks):
+        out = {}
+        for name, sub in blocks.items():
+            if isinstance(sub, dict) and "w" in sub and getattr(sub["w"], "ndim", 0) == 3:
+                w = onp.asarray(sub["w"], onp.float32)
+                amax = onp.abs(w).max(axis=1, keepdims=True)  # (L, 1, d_out)
+                ws = onp.maximum(amax, 1e-8) / 127.0
+                wq = onp.clip(onp.rint(w / ws), -127, 127).astype(onp.int8)
+                q = {"wq": jnp.asarray(wq), "ws": jnp.asarray(ws.astype(onp.float32))}
+                if "b" in sub:
+                    q["b"] = sub["b"]
+                out[name] = q
+            else:
+                out[name] = sub
+        return out
+
+    new = dict(params)
+    new["decoder"] = {**params["decoder"],
+                      "blocks": quant_tree(params["decoder"]["blocks"])}
+    if encoder:
+        new["encoder"] = {**params["encoder"],
+                          "blocks": quant_tree(params["encoder"]["blocks"])}
+    return new
 
 
 def quantize_cross_kv(ck: jax.Array, cv: jax.Array):
@@ -535,11 +770,14 @@ def _decoder_tail(params: Params, x: jax.Array) -> jax.Array:
 
 
 def decode_prefill(params: Params, dims: WhisperDims, tokens: jax.Array, cache: Params,
-                   prompt_len: jax.Array | None = None):
+                   prompt_len: jax.Array | None = None, uniform_pos: bool = False):
     """Run a prompt of P tokens through the decoder, writing self-KV at
     positions [pos, pos+P). tokens: (B, P) int32. Returns (logits (B,P,V),
     cache'). Padded prompt positions (>= prompt_len) still write KV but are
     masked from attention by later steps via cache['pos'].
+
+    uniform_pos: static promise that all slots are at the same position
+    (see _write_kv) — enables the batchwide-DUS fast path.
     """
     p = params["decoder"]
     B, P = tokens.shape
@@ -551,20 +789,26 @@ def decode_prefill(params: Params, dims: WhisperDims, tokens: jax.Array, cache: 
     k_idx = jnp.arange(dims.n_text_ctx)[None, None, None, :]
     mask = k_idx <= q_idx  # (B, 1, P, T_max)
 
-    quant = "cross_k_scale" in cache
-    block = _dec_block_factory(dims, quantized=quant)
-    xs = (p["blocks"], cache["self_k"], cache["self_v"], cache["cross_k"], cache["cross_v"])
-    if quant:
-        xs = xs + (cache["cross_k_scale"], cache["cross_v_scale"])
-    (x, _, _), (sk, sv) = jax.lax.scan(block, (x, pos, mask), xs)
+    xs, cross_quant, self_quant = _dec_scan_xs(params, cache)
+    block = _dec_block_factory(dims, cross_quant=cross_quant, self_quant=self_quant,
+                               uniform_pos=uniform_pos)
+    (x, _, _), out = jax.lax.scan(block, (x, pos, mask), xs)
     new_len = P if prompt_len is None else prompt_len
-    cache = {**cache, "self_k": sk, "self_v": sv, "pos": pos + new_len}
+    cache = _dec_scan_out_to_cache(cache, out, pos + new_len)
     return _decoder_tail(params, x), cache
 
 
-def decode_step(params: Params, dims: WhisperDims, token: jax.Array, cache: Params):
+def decode_step(params: Params, dims: WhisperDims, token: jax.Array, cache: Params,
+                uniform_pos: bool = False):
     """One autoregressive step for all slots. token: (B,) int32.
-    Returns (logits (B, V), cache')."""
+    Returns (logits (B, V), cache').
+
+    The self-KV write is DEFERRED out of the layer scan: each layer attends
+    jointly over its (stale) cache plus the new token's k/v
+    (_joint_decode_attention) and emits k/v as scan outputs; ONE vmap'd
+    dynamic_update_slice then writes all L layers' columns. This replaces
+    2L per-layer serialized B-iteration write loops with a single one —
+    measured 22 of 34 ms/step at B=32 large-v3 (PERF.md)."""
     p = params["decoder"]
     B = token.shape[0]
     pos = cache["pos"]
@@ -573,13 +817,30 @@ def decode_step(params: Params, dims: WhisperDims, token: jax.Array, cache: Para
     k_idx = jnp.arange(dims.n_text_ctx)[None, None, None, :]
     mask = k_idx <= pos[:, None, None, None]  # (B,1,1,T_max)
 
-    quant = "cross_k_scale" in cache
-    block = _dec_block_factory(dims, quantized=quant)
-    xs = (p["blocks"], cache["self_k"], cache["self_v"], cache["cross_k"], cache["cross_v"])
-    if quant:
-        xs = xs + (cache["cross_k_scale"], cache["cross_v_scale"])
-    (x, _, _), (sk, sv) = jax.lax.scan(block, (x, pos, mask), xs)
-    cache = {**cache, "self_k": sk, "self_v": sv, "pos": pos + 1}
+    xs, cross_quant, self_quant = _dec_scan_xs(params, cache)
+    defer = not _pallas_decode_enabled()
+    block = _dec_block_factory(dims, cross_quant=cross_quant, self_quant=self_quant,
+                               uniform_pos=uniform_pos, defer_write=defer)
+    (x, _, _), out = jax.lax.scan(block, (x, pos, mask), xs)
+    if defer:
+        # batched cross-layer write: c (L, H, Dh, T) <- n (L, H, Dh, 1) at pos
+        def upd(c, n, pb):
+            return jax.lax.dynamic_update_slice(c, n, (0, 0, 0, pb))
+
+        wr = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
+        cache = {**cache,
+                 "self_k": wr(cache["self_k"], out["k_new"], pos),
+                 "self_v": wr(cache["self_v"], out["v_new"], pos),
+                 "pos": pos + 1}
+        if self_quant:
+            def upd_s(c, n, pb):  # c (L, H, T) <- n (L, H, 1)
+                return jax.lax.dynamic_update_slice(c, n, (0, 0, pb))
+
+            wr_s = jax.vmap(upd_s, in_axes=(1, 1, 0), out_axes=1)
+            cache["self_k_scale"] = wr_s(cache["self_k_scale"], out["ks_new"], pos)
+            cache["self_v_scale"] = wr_s(cache["self_v_scale"], out["vs_new"], pos)
+    else:
+        cache = _dec_scan_out_to_cache(cache, out, pos + 1)
     return _decoder_tail(params, x)[:, 0, :], cache
 
 

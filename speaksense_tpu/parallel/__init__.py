@@ -14,3 +14,7 @@ from speaksense_tpu.parallel.mesh import (  # noqa: F401
     cache_shardings,
     shard_params,
 )
+from speaksense_tpu.parallel.multihost import (  # noqa: F401
+    init_distributed,
+    local_serving_mesh,
+)

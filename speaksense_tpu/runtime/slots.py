@@ -44,6 +44,11 @@ from speaksense_tpu.models import decode as D
 
 log = logging.getLogger(__name__)
 
+# device-resident KV pool tensors scattered per-slot at admit time (the
+# scale entries exist only when the pool runs int8)
+_KV_KEYS = ("self_k", "self_v", "cross_k", "cross_v",
+            "self_k_scale", "self_v_scale", "cross_k_scale", "cross_v_scale")
+
 
 @dataclass
 class _StreamJob:
@@ -57,20 +62,32 @@ class SlotPool:
     """Device-resident decode state for S slots + host-side occupancy."""
 
     def __init__(self, engine, n_slots: int, t_mel: int, max_new: int,
-                 with_timestamps: bool = True):
+                 with_timestamps: bool = True, int8_kv: bool = False):
         self.engine = engine
         self.dims = engine.dims
         self.S = n_slots
         self.t_mel = t_mel
         self.n_audio_ctx = min(t_mel // 2, self.dims.n_audio_ctx)
         self.max_new = max_new
+        self.int8_kv = int8_kv
         self.cfg = D.RuleConfig.from_tokenizer(
             engine.tokenizer, with_timestamps=with_timestamps,
             max_initial_ts=engine.config.max_initial_ts, max_new_tokens=max_new)
         self.suppress = engine._suppress[(False, False)]
         dtype = engine.dtype
         S, dims = self.S, self.dims
-        cache = W.init_cache(dims, S, self.n_audio_ctx, dtype=dtype)
+        # int8_kv: both KV pools int8 (cross per-channel, self per-token
+        # write-time scales) — halves pool HBM so 64 large-v3 slots fit one
+        # 16 GB chip (bf16 cross alone is ~252 MB/slot at A=1536)
+        cache = W.init_cache(dims, S, self.n_audio_ctx, dtype=dtype,
+                             self_kv_int8=int8_kv)
+        if int8_kv:
+            L, H = dims.n_text_layer, dims.n_text_head
+            Dh = dims.n_text_state // dims.n_text_head
+            cache["cross_k"] = jnp.zeros(cache["cross_k"].shape, jnp.int8)
+            cache["cross_v"] = jnp.zeros(cache["cross_v"].shape, jnp.int8)
+            cache["cross_k_scale"] = jnp.zeros((L, S, H, Dh, 1), jnp.float32)
+            cache["cross_v_scale"] = jnp.zeros((L, S, H, Dh, 1), jnp.float32)
         self.state = dict(
             **cache,
             tokens=jnp.full((S, max_new), self.cfg.eot, jnp.int32),
@@ -95,16 +112,22 @@ class SlotPool:
         def admit(params, state, mel, slot, prompt):
             # one-window prefill into slot `slot`
             enc = W.encode(params, dims, mel, n_ctx_out=self.n_audio_ctx)
-            cache1 = W.init_cache(dims, 1, enc.shape[1], dtype=state["self_k"].dtype)
-            ck, cv = W.compute_cross_kv(params, dims, enc, dtype=cache1["cross_k"].dtype)
-            cache1 = {**cache1, "cross_k": ck, "cross_v": cv}
+            cache1 = W.init_cache(dims, 1, enc.shape[1], dtype=self.engine.dtype,
+                                  self_kv_int8=self.int8_kv)
+            ck, cv = W.compute_cross_kv(params, dims, enc, dtype=self.engine.dtype)
+            if self.int8_kv:
+                kq, vq, ks, vs = W.quantize_cross_kv(ck, cv)
+                cache1 = {**cache1, "cross_k": kq, "cross_v": vq,
+                          "cross_k_scale": ks, "cross_v_scale": vs}
+            else:
+                cache1 = {**cache1, "cross_k": ck, "cross_v": cv}
             logits, cache1 = W.decode_prefill(params, dims, prompt, cache1)
 
             new = dict(state)
-            new["self_k"] = jax.lax.dynamic_update_index_in_dim(state["self_k"], cache1["self_k"][:, 0], slot, 1)
-            new["self_v"] = jax.lax.dynamic_update_index_in_dim(state["self_v"], cache1["self_v"][:, 0], slot, 1)
-            new["cross_k"] = jax.lax.dynamic_update_index_in_dim(state["cross_k"], cache1["cross_k"][:, 0], slot, 1)
-            new["cross_v"] = jax.lax.dynamic_update_index_in_dim(state["cross_v"], cache1["cross_v"][:, 0], slot, 1)
+            for k in _KV_KEYS:
+                if k in cache1:
+                    new[k] = jax.lax.dynamic_update_index_in_dim(
+                        state[k], cache1[k][:, 0], slot, 1)
             new["pos"] = state["pos"].at[slot].set(cache1["pos"][0])
             new["last_logits"] = state["last_logits"].at[slot].set(logits[0, -1].astype(jnp.float32))
             new["tokens"] = state["tokens"].at[slot].set(jnp.full((self.max_new,), cfg.eot, jnp.int32))
@@ -135,7 +158,7 @@ class SlotPool:
                 state["tokens"], write_col, tok)
             tokens = jnp.where(state["active"][:, None], tokens, state["tokens"])
 
-            cache = {k: state[k] for k in ("self_k", "self_v", "cross_k", "cross_v", "pos")}
+            cache = {k: state[k] for k in _KV_KEYS + ("pos",) if k in state}
             logits, cache = W.decode_step(params, dims, tok, cache)
 
             is_ts = tok >= cfg.ts_begin
@@ -208,9 +231,9 @@ class StreamingDecodeServer:
     """Background thread driving a SlotPool: submit windows, get futures."""
 
     def __init__(self, engine, n_slots: int = 16, t_mel: int = 3000,
-                 max_new: int = 128):
+                 max_new: int = 128, int8_kv: bool = False):
         self.engine = engine
-        self.pool = SlotPool(engine, n_slots, t_mel, max_new)
+        self.pool = SlotPool(engine, n_slots, t_mel, max_new, int8_kv=int8_kv)
         self._queue: "queue.Queue[_StreamJob]" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, name="slot-server", daemon=True)

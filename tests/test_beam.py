@@ -73,3 +73,48 @@ def test_transcribe_window_beam(setup):
     params, _, prompt, mel = setup
     out = transcribe_window_beam(params, DIMS, CFG, SUPPRESS, mel, prompt, beam_size=2)
     assert np.asarray(out["tokens"]).shape == (2, CFG.max_new_tokens)
+
+
+def test_beam_with_conditioning_prompt(setup):
+    """Beam + previous-text conditioning: variable-length right-padded
+    prompts (prompt_len/sot_index contract). A padded prompt with the pad
+    masked out must decode like the unpadded one."""
+    params, enc, prompt, _ = setup
+    B, P0 = prompt.shape
+    pad = 4
+    prompt_padded = jnp.concatenate(
+        [prompt, jnp.full((B, pad), TOK.eot, jnp.int32)], axis=1)
+    plain = beam_decode(params, DIMS, CFG, SUPPRESS, enc, prompt, beam_size=3)
+    padded = beam_decode(params, DIMS, CFG, SUPPRESS, enc, prompt_padded,
+                         beam_size=3,
+                         prompt_len=jnp.full((B,), P0, jnp.int32),
+                         sot_index=jnp.zeros((B,), jnp.int32))
+    np.testing.assert_array_equal(np.asarray(plain["tokens"]),
+                                  np.asarray(padded["tokens"]))
+    np.testing.assert_allclose(np.asarray(plain["no_speech_prob"]),
+                               np.asarray(padded["no_speech_prob"]), atol=1e-5)
+
+
+def test_beam_conditioned_context_changes_output(setup):
+    """A real <|startofprev|> context flows through beam decoding (shape- and
+    rule-correct; the context occupies KV so outputs may legitimately differ)."""
+    params, enc, prompt, _ = setup
+    B, P0 = prompt.shape
+    ctx = [7, 8, 9]
+    rows = []
+    for b in range(B):
+        rows.append([TOK.sot_prev] + ctx + list(np.asarray(prompt[b])))
+    P = max(len(r) for r in rows)
+    pn = np.full((B, P), TOK.eot, np.int32)
+    for b, r in enumerate(rows):
+        pn[b, : len(r)] = r
+    out = beam_decode(params, DIMS, CFG, SUPPRESS, enc, jnp.asarray(pn),
+                      beam_size=2,
+                      prompt_len=jnp.asarray([len(r) for r in rows], jnp.int32),
+                      sot_index=jnp.asarray([len(ctx) + 1] * B, jnp.int32))
+    tokens = np.asarray(out["tokens"])
+    n = np.asarray(out["n_sampled"])
+    for b in range(B):
+        if n[b] > 0:
+            assert tokens[b, 0] >= TOK.ts_begin
+    assert np.isfinite(np.asarray(out["avg_logprob"])).all()

@@ -181,3 +181,134 @@ def test_quantize_cross_kv_roundtrip(tiny_model, rng):
     deq = np.asarray(kq, np.float32) * np.asarray(ks)
     rel = np.abs(deq - np.asarray(ck)).max() / (np.abs(np.asarray(ck)).max() + 1e-9)
     assert rel < 0.02  # per-channel int8: <2% worst-case error
+
+
+def test_transcribe_window_int8_self_kv(tiny_model, rng):
+    """Write-time int8 self-KV: greedy token stream matches the bf16-cache
+    decode closely (tiny random model; per-token scales bound error ~1/127)."""
+    params, dims = tiny_model
+    mel = jnp.asarray(rng.standard_normal((2, 3000, dims.n_mels)), jnp.float32)
+    prompt = jnp.asarray([TOK.sot_sequence("en")] * 2, jnp.int32)
+    kw = dict(temperature=jnp.zeros((2,), jnp.float32), key=jax.random.PRNGKey(0))
+    ref = D.transcribe_window(params, dims, CFG, SUPPRESS, mel, prompt, **kw)
+    out = D.transcribe_window(params, dims, CFG, SUPPRESS, mel, prompt,
+                              self_kv_int8=True, **kw)
+    tokens = np.asarray(out["tokens"])
+    n = np.asarray(out["n_sampled"])
+    for b in range(2):
+        if n[b] > 0:
+            assert tokens[b, 0] >= TOK.ts_begin
+    assert np.isfinite(np.asarray(out["avg_logprob"])).all()
+    # greedy paths agree on the first sampled token (coarse numerics check;
+    # full-sequence agreement is not guaranteed under quantization)
+    ref_tok = np.asarray(ref["tokens"])
+    assert (tokens[:, 0] == ref_tok[:, 0]).all()
+
+
+def test_decode_step_int8_self_kv_matches_bf16(tiny_model, rng):
+    """Layer-exact check: logits from the int8 self-KV path stay within
+    quantization tolerance of the full-precision path across several steps."""
+    params, dims = tiny_model
+    B = 2
+    mel = jnp.asarray(rng.standard_normal((B, 3000, dims.n_mels)), jnp.float32)
+    enc = W.encode(params, dims, mel)
+    ck, cv = W.compute_cross_kv(params, dims, enc, dtype=jnp.float32)
+    prompt = jnp.asarray([TOK.sot_sequence("en")] * B, jnp.int32)
+
+    def run(self_kv_int8):
+        cache = W.init_cache(dims, B, enc.shape[1], dtype=jnp.float32,
+                             self_kv_int8=self_kv_int8)
+        cache = {**cache, "cross_k": ck, "cross_v": cv}
+        logits, cache = W.decode_prefill(params, dims, prompt, cache)
+        outs = [logits[:, -1]]
+        tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        for _ in range(4):
+            logits, cache = W.decode_step(params, dims, tok, cache)
+            outs.append(logits)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return np.stack([np.asarray(o) for o in outs])
+
+    ref = run(False)
+    q = run(True)
+    rel = np.abs(q - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_uniform_pos_matches_general_path(tiny_model, rng):
+    """The batchwide-DUS fast path (uniform_pos=True) is bit-identical to the
+    per-slot write path when all slots share one position."""
+    params, dims = tiny_model
+    B = 2
+    mel = jnp.asarray(rng.standard_normal((B, 3000, dims.n_mels)), jnp.float32)
+    enc = W.encode(params, dims, mel)
+    ck, cv = W.compute_cross_kv(params, dims, enc, dtype=jnp.float32)
+    prompt = jnp.asarray([TOK.sot_sequence("en")] * B, jnp.int32)
+
+    def run(uniform):
+        cache = W.init_cache(dims, B, enc.shape[1], dtype=jnp.float32)
+        cache = {**cache, "cross_k": ck, "cross_v": cv}
+        logits, cache = W.decode_prefill(params, dims, prompt, cache,
+                                         uniform_pos=uniform)
+        outs = [np.asarray(logits[:, -1])]
+        tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        for _ in range(3):
+            logits, cache = W.decode_step(params, dims, tok, cache,
+                                          uniform_pos=uniform)
+            outs.append(np.asarray(logits))
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return np.stack(outs)
+
+    np.testing.assert_array_equal(run(True), run(False))
+
+
+def test_int8_block_weights_roundtrip(tiny_model, rng):
+    """Per-out-channel int8 decoder weights keep teacher-forced logits within
+    quantization tolerance, and greedy decode stays rule-compliant."""
+    params, dims = tiny_model
+    qparams = W.quantize_block_weights(params)
+    bp = qparams["decoder"]["blocks"]["q"]
+    assert bp["wq"].dtype == jnp.int8 and "w" not in bp
+    mel = jnp.asarray(rng.standard_normal((1, 3000, dims.n_mels)), jnp.float32)
+    enc = W.encode(params, dims, mel)
+    toks = jnp.asarray([TOK.sot_sequence("en") + [100, 200]], jnp.int32)
+    ref = np.asarray(W.decode_logits(params, dims, toks, enc))
+    q = np.asarray(W.decode_logits(qparams, dims, toks, enc))
+    rel = np.abs(q - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+
+    prompt = jnp.asarray([TOK.sot_sequence("en")], jnp.int32)
+    out = D.transcribe_window(qparams, dims, CFG, SUPPRESS, mel, prompt,
+                              jnp.zeros((1,), jnp.float32), jax.random.PRNGKey(0))
+    tokens = np.asarray(out["tokens"])
+    if int(np.asarray(out["n_sampled"])[0]) > 0:
+        assert tokens[0, 0] >= TOK.ts_begin
+
+
+def test_deferred_write_step_matches_prefill(tiny_model, rng):
+    """decode_step's deferred-write joint attention must agree with the
+    write-then-attend prefill path: teacher-forcing token-by-token through
+    decode_step reproduces decode_prefill's logits."""
+    params, dims = tiny_model
+    B = 2
+    mel = jnp.asarray(rng.standard_normal((B, 3000, dims.n_mels)), jnp.float32)
+    enc = W.encode(params, dims, mel)
+    ck, cv = W.compute_cross_kv(params, dims, enc, dtype=jnp.float32)
+    toks = np.asarray([TOK.sot_sequence("en") + [100, 200, 300]] * B, np.int32)
+
+    cache = W.init_cache(dims, B, enc.shape[1], dtype=jnp.float32)
+    cache = {**cache, "cross_k": ck, "cross_v": cv}
+    full_logits, _ = W.decode_prefill(params, dims, jnp.asarray(toks), cache)
+
+    cache = W.init_cache(dims, B, enc.shape[1], dtype=jnp.float32)
+    cache = {**cache, "cross_k": ck, "cross_v": cv}
+    step_logits = []
+    first, _ = W.decode_prefill(params, dims, jnp.asarray(toks[:, :1]), cache)
+    # re-init: drive everything through decode_step from the first token
+    cache = W.init_cache(dims, B, enc.shape[1], dtype=jnp.float32)
+    cache = {**cache, "cross_k": ck, "cross_v": cv}
+    for t in range(toks.shape[1]):
+        logits, cache = W.decode_step(params, dims, jnp.asarray(toks[:, t]), cache)
+        step_logits.append(np.asarray(logits))
+    step_logits = np.stack(step_logits, axis=1)  # (B, T, V)
+    np.testing.assert_allclose(step_logits, np.asarray(full_logits),
+                               rtol=2e-4, atol=2e-4)

@@ -40,3 +40,26 @@ def test_shard_params_placement():
     # row-parallel o weight: in dim split
     ow = sharded["encoder"]["blocks"]["o"]["w"]
     assert {s.data.shape for s in ow.addressable_shards} == {(2, 32, 64)}
+
+
+def test_init_distributed_noop_without_env(monkeypatch):
+    from speaksense_tpu.parallel import init_distributed
+
+    for var in ("SPEAKSENSE_COORDINATOR", "SPEAKSENSE_NUM_PROCESSES",
+                "SPEAKSENSE_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert init_distributed() is False
+    # explicit single-process is also a no-op
+    assert init_distributed(coordinator="localhost:1234", num_processes=1,
+                            process_id=0) is False
+
+
+def test_local_serving_mesh_shape():
+    import jax
+
+    from speaksense_tpu.parallel import local_serving_mesh
+
+    mesh = local_serving_mesh(tp=2)
+    n = len(jax.local_devices())
+    assert mesh.devices.shape == (n // 2, 2)
+    assert mesh.axis_names == ("dp", "tp")

@@ -86,3 +86,26 @@ def test_stream_chunks_via_slot_pool(engine, rng):
     finally:
         engine._slot_server.stop()
         engine._slot_server = None
+
+
+def test_pool_int8_kv_matches_fp(engine, rng):
+    """int8 pools (cross per-channel + self per-token) produce rule-compliant
+    output and agree with the fp pool on the first sampled tokens."""
+    fp = StreamingDecodeServer(engine, n_slots=2, max_new=12)
+    q8 = StreamingDecodeServer(engine, n_slots=2, max_new=12, int8_kv=True)
+    try:
+        import jax.numpy as jnp
+
+        assert q8.pool.state["cross_k"].dtype == jnp.int8
+        assert q8.pool.state["self_k"].dtype == jnp.int8
+        mel = _mel(engine, rng, 0.1)
+        r_fp = fp.submit(mel).result(timeout=300)
+        r_q8 = q8.submit(mel).result(timeout=300)
+        tok = engine.tokenizer
+        if r_q8["n_sampled"] > 0:
+            assert r_q8["tokens"][0] >= tok.ts_begin
+        if r_fp["n_sampled"] and r_q8["n_sampled"]:
+            assert r_fp["tokens"][0] == r_q8["tokens"][0]
+    finally:
+        fp.stop()
+        q8.stop()
