@@ -21,10 +21,16 @@ import numpy as np
 
 
 def bench_slots(model_name: str, decode_tokens: int):
-    """BENCH_MODE=slots: token-level continuous-batched serving — S concurrent
-    streams submit 30 s windows to the slot pool (BASELINE config 4: 64
-    concurrent streams, paged KV). Reports audio-s/s across the full run
-    (admission encodes + interleaved pool steps), not just the decode loop."""
+    """BENCH_MODE=slots: token-level continuous-batched STREAMING serving —
+    S concurrent gRPC-style streams submit 5 s chunks (the reference's
+    streaming cadence, handlers/asr.rs:14-18) to the slot pool (BASELINE
+    config 4: 64 concurrent streams, paged KV). Reports audio-s/s across the
+    full run (admission encodes + interleaved pool steps included).
+
+    Shapes: t_mel=512 (the engine's streaming bucket; truncated encoder
+    context = 256 frames) keeps 64 int8 KV slots ~3.7 GB — full-30s-window
+    pools at 64 slots exceed one v5e's HBM because the step program holds
+    input+output state (buffer donation does not alias on this backend)."""
     import time
 
     import jax
@@ -42,7 +48,9 @@ def bench_slots(model_name: str, decode_tokens: int):
     from speaksense_tpu.runtime.slots import StreamingDecodeServer
 
     slots = int(os.environ.get("BENCH_SLOTS", "64"))
-    n_windows = int(os.environ.get("BENCH_WINDOWS", str(2 * slots)))
+    t_mel = int(os.environ.get("BENCH_SLOTS_TMEL", "512"))
+    max_new = int(os.environ.get("BENCH_SLOTS_TOKENS", "96"))
+    n_windows = int(os.environ.get("BENCH_WINDOWS", str(4 * slots)))
     dims = W.MODEL_DIMS[model_name]
     params = {  # host-side bf16 (see verify skill: device casts are slow here)
         k: v for k, v in W.init_params_np(dims).items()
@@ -52,10 +60,11 @@ def bench_slots(model_name: str, decode_tokens: int):
     tok = Tokenizer.synthetic(dims.n_vocab)
     engine = WhisperEngine(params, dims, tok,
                            config=EngineConfig(cross_kv_int8=True))
-    server = StreamingDecodeServer(engine, n_slots=slots, t_mel=3000,
-                                   max_new=decode_tokens, int8_kv=True)
+    server = StreamingDecodeServer(engine, n_slots=slots, t_mel=t_mel,
+                                   max_new=max_new, int8_kv=True)
     rng = np.random.default_rng(0)
-    mel = rng.standard_normal((3000, dims.n_mels)).astype(np.float32)
+    mel = rng.standard_normal((t_mel, dims.n_mels)).astype(np.float32)
+    chunk_seconds = t_mel * 160 / 16000.0  # HOP_LENGTH * frames / rate
 
     try:
         # warm both programs (admit + step) before timing
@@ -67,11 +76,11 @@ def bench_slots(model_name: str, decode_tokens: int):
         dt = time.perf_counter() - t0
     finally:
         server.stop()
-    rtf = n_windows * 30.0 / dt
+    rtf = n_windows * chunk_seconds / dt
     print(json.dumps({
-        "metric": f"{model_name} slot-pool serving real-time factor "
-                  f"({slots} concurrent streams, int8 KV, "
-                  f"{decode_tokens} tok/window)",
+        "metric": f"{model_name} slot-pool streaming serving real-time factor "
+                  f"({slots} concurrent streams, {chunk_seconds:.1f}s chunks, "
+                  f"int8 KV, {max_new} tok/chunk)",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 30.0, 2),

@@ -30,19 +30,23 @@ Params = dict
 
 
 def _beam_block_factory(dims: W.WhisperDims, B: int, K: int):
-    """Decoder block for (B*K, 1, d) steps with beam-shared cross KV."""
+    """Decoder block for (B*K, 1, d) steps with beam-shared cross KV.
+
+    Self-KV writes are DEFERRED (joint-column attention, k/v emitted as scan
+    outputs and written batched after the scan) — the per-layer vmap-DUS
+    would serialize over B*K rows (see PERF.md decode-step ablation)."""
     n_head = dims.n_text_head
 
     def block(carry, xs):
-        x, pos, mask = carry  # x (BK, 1, d); pos (BK,); mask (BK,1,1,T)
-        bp, sk, sv, ck, cv = xs  # sk/sv (BK,H,T,Dh); ck/cv (B,H,A,Dh)
+        x, pos = carry  # x (BK, 1, d); pos (BK,)
+        bp, sk, sv, ck, cv = xs  # sk/sv (BK,H,Dh,T); ck/cv (B,H,Dh,A)
         h = W._ln(x, bp["attn_ln"])
         q = W._split_heads(W._linear(h, bp["q"]), n_head)
         k_new = W._split_heads(W._linear(h, bp["k"]), n_head)
         v_new = W._split_heads(W._linear(h, bp["v"]), n_head)
-        sk = W._write_kv(sk, k_new.astype(sk.dtype), pos)
-        sv = W._write_kv(sv, v_new.astype(sv.dtype), pos)
-        x = x + W._linear(W._merge_heads(W._cached_attention(q, sk.astype(q.dtype), sv.astype(q.dtype), mask)), bp["o"])
+        attn = W._joint_decode_attention(q, sk.astype(q.dtype), sv.astype(q.dtype),
+                                         k_new, v_new, pos)
+        x = x + W._linear(W._merge_heads(attn), bp["o"])
         # cross-attention: beams share their batch row's encoder KV
         h = W._ln(x, bp["cross_ln"])
         cq = W._split_heads(W._linear(h, bp["cq"]), n_head)  # (BK, H, 1, Dh)
@@ -58,7 +62,8 @@ def _beam_block_factory(dims: W.WhisperDims, B: int, K: int):
         x = x + W._linear(W._merge_heads(ctx), bp["co"])
         h = W._ln(x, bp["mlp_ln"])
         x = x + W._linear(jax.nn.gelu(W._linear(h, bp["fc1"]), approximate=False), bp["fc2"])
-        return (x, pos, mask), (sk, sv)
+        return (x, pos), (jnp.swapaxes(k_new, -1, -2).astype(sk.dtype),
+                          jnp.swapaxes(v_new, -1, -2).astype(sv.dtype))
 
     return block
 
@@ -104,12 +109,19 @@ def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
         pos = cache["pos"]
         x = (params["decoder"]["tok_emb"][tok][:, None, :]
              + params["decoder"]["pos"][pos][:, None, :].astype(dtype))
-        k_idx = jnp.arange(dims.n_text_ctx)[None, None, None, :]
-        mask = k_idx <= pos[:, None, None, None]
-        (x, _, _), (sk, sv) = jax.lax.scan(
-            block, (x, pos, mask),
+        (x, _), (k_new, v_new) = jax.lax.scan(
+            block, (x, pos),
             (params["decoder"]["blocks"], cache["self_k"], cache["self_v"], ck, cv))
-        cache = {**cache, "self_k": sk, "self_v": sv, "pos": pos + 1}
+
+        # one batched cross-layer KV write (k_new/v_new: (L, BK, H, Dh, 1))
+        def upd(c, n, pb):
+            return jax.lax.dynamic_update_slice(c, n, (0, 0, 0, pb))
+
+        wr = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
+        cache = {**cache,
+                 "self_k": wr(cache["self_k"], k_new, pos),
+                 "self_v": wr(cache["self_v"], v_new, pos),
+                 "pos": pos + 1}
         return W._decoder_tail(params, x)[:, 0, :], cache
 
     # drop replicated cross KV from the live cache (beam blocks use ck/cv)

@@ -383,7 +383,7 @@ def encode(params: Params, dims: WhisperDims, mel: jax.Array, n_ctx_out: int | N
 # ---------------------------------------------------------------------------
 
 def init_cache(dims: WhisperDims, batch: int, n_audio_ctx: int | None = None, dtype=jnp.bfloat16,
-               self_kv_int8: bool = False) -> Params:
+               self_kv_int8: bool = False, t_text: int | None = None) -> Params:
     """Statically-shaped decode state for `batch` slots.
 
     KV is stored TIME-MINOR — self (L, B, H, Dh, n_text_ctx), cross
@@ -401,10 +401,15 @@ def init_cache(dims: WhisperDims, batch: int, n_audio_ctx: int | None = None, dt
 
     pos: (B,) int32 — per-slot write offset: slots decode at different
       offsets inside one compiled step.
+
+    t_text caps the decode-position axis below dims.n_text_ctx (448) for
+    short-generation serving — a 96-token streaming chunk fits in 128
+    positions, cutting the self-KV pool (and its per-step read traffic)
+    3.5x. Attention masks derive from the cache shape, not dims.
     """
     L, H, Dh = dims.n_text_layer, dims.n_text_head, dims.n_text_state // dims.n_text_head
     A = n_audio_ctx if n_audio_ctx is not None else dims.n_audio_ctx
-    T = dims.n_text_ctx
+    T = t_text if t_text is not None else dims.n_text_ctx
     cache = {
         "self_k": jnp.zeros((L, batch, H, Dh, T), jnp.int8 if self_kv_int8 else dtype),
         "self_v": jnp.zeros((L, batch, H, Dh, T), jnp.int8 if self_kv_int8 else dtype),
@@ -786,7 +791,7 @@ def decode_prefill(params: Params, dims: WhisperDims, tokens: jax.Array, cache: 
     x = p["tok_emb"][tokens] + jax.lax.dynamic_slice_in_dim(p["pos"], 0, P, 0)[None].astype(dtype)
     # causal mask offset by per-slot pos: query i attends keys <= pos + i
     q_idx = pos[:, None, None, None] + jnp.arange(P)[None, None, :, None]
-    k_idx = jnp.arange(dims.n_text_ctx)[None, None, None, :]
+    k_idx = jnp.arange(cache["self_k"].shape[-1])[None, None, None, :]
     mask = k_idx <= q_idx  # (B, 1, P, T_max)
 
     xs, cross_quant, self_quant = _dec_scan_xs(params, cache)
@@ -814,7 +819,7 @@ def decode_step(params: Params, dims: WhisperDims, token: jax.Array, cache: Para
     pos = cache["pos"]
     dtype = p["tok_emb"].dtype
     x = p["tok_emb"][token][:, None, :] + p["pos"][pos][:, None, :].astype(dtype)  # (B,1,d)
-    k_idx = jnp.arange(dims.n_text_ctx)[None, None, None, :]
+    k_idx = jnp.arange(cache["self_k"].shape[-1])[None, None, None, :]
     mask = k_idx <= pos[:, None, None, None]  # (B,1,1,T_max)
 
     xs, cross_quant, self_quant = _dec_scan_xs(params, cache)

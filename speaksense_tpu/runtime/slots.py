@@ -78,9 +78,13 @@ class SlotPool:
         S, dims = self.S, self.dims
         # int8_kv: both KV pools int8 (cross per-channel, self per-token
         # write-time scales) — halves pool HBM so 64 large-v3 slots fit one
-        # 16 GB chip (bf16 cross alone is ~252 MB/slot at A=1536)
+        # 16 GB chip (bf16 cross alone is ~252 MB/slot at A=1536).
+        # t_text: decode positions sized to the generation budget (prompt +
+        # max_new), lane-aligned — a 96-token streaming pool reads 3.5x less
+        # self-KV per step than the full 448-position cache
+        t_text = min(dims.n_text_ctx, ((32 + max_new + 127) // 128) * 128)
         cache = W.init_cache(dims, S, self.n_audio_ctx, dtype=dtype,
-                             self_kv_int8=int8_kv)
+                             self_kv_int8=int8_kv, t_text=t_text)
         if int8_kv:
             L, H = dims.n_text_layer, dims.n_text_head
             Dh = dims.n_text_state // dims.n_text_head
@@ -113,7 +117,8 @@ class SlotPool:
             # one-window prefill into slot `slot`
             enc = W.encode(params, dims, mel, n_ctx_out=self.n_audio_ctx)
             cache1 = W.init_cache(dims, 1, enc.shape[1], dtype=self.engine.dtype,
-                                  self_kv_int8=self.int8_kv)
+                                  self_kv_int8=self.int8_kv,
+                                  t_text=self.state["self_k"].shape[-1])
             ck, cv = W.compute_cross_kv(params, dims, enc, dtype=self.engine.dtype)
             if self.int8_kv:
                 kq, vq, ks, vs = W.quantize_cross_kv(ck, cv)
@@ -196,30 +201,45 @@ class SlotPool:
         self.jobs[slot] = job
         return True
 
-    def step(self) -> list[_StreamJob]:
-        """One pool-wide decode step; returns jobs that finished."""
+    def step(self, retire: bool = True) -> list[_StreamJob]:
+        """One pool-wide decode step; returns jobs that finished.
+
+        retire=False skips the device->host fetch entirely — on a
+        remote-relay backend every fetch costs a round trip PER TOKEN, which
+        dominated the serving benchmark. The host loop retires every
+        `poll_interval` steps instead (a finished slot just idles frozen for
+        a few extra steps)."""
         if self._step_fn is None:
             self._step_fn = self._build_step()
-        self.state, finished_now = self._step_fn(self.engine.params, self.suppress,
-                                                 self.state)
-        done_mask = np.asarray(finished_now)
+        self.state, _ = self._step_fn(self.engine.params, self.suppress,
+                                      self.state)
+        if not retire:
+            return []
+        return self.retire_finished()
+
+    def retire_finished(self) -> list[_StreamJob]:
+        """Complete futures for every occupied slot whose decode finished
+        (device-side `active` flag dropped) and recycle the slots."""
+        if not self.jobs:
+            return []
+        active = np.asarray(self.state["active"])
+        done_slots = [s for s in list(self.jobs) if not active[s]]
+        if not done_slots:
+            return []
+        tokens = np.asarray(self.state["tokens"])
+        n_sampled = np.asarray(self.state["n_sampled"])
+        sum_lp = np.asarray(self.state["sum_lp"])
         done: list[_StreamJob] = []
-        if done_mask.any():
-            tokens = np.asarray(self.state["tokens"])
-            n_sampled = np.asarray(self.state["n_sampled"])
-            sum_lp = np.asarray(self.state["sum_lp"])
-            for slot in np.nonzero(done_mask)[0]:
-                job = self.jobs.pop(int(slot), None)
-                if job is None:
-                    continue
-                n = int(n_sampled[slot])
-                job.future.set_result(dict(
-                    tokens=tokens[slot], n_sampled=n,
-                    sum_logprob=float(sum_lp[slot]),
-                    avg_logprob=float(sum_lp[slot]) / (n + 1),
-                ))
-                self.free.append(int(slot))
-                done.append(job)
+        for slot in done_slots:
+            job = self.jobs.pop(slot)
+            n = int(n_sampled[slot])
+            job.future.set_result(dict(
+                tokens=tokens[slot], n_sampled=n,
+                sum_logprob=float(sum_lp[slot]),
+                avg_logprob=float(sum_lp[slot]) / (n + 1),
+            ))
+            self.free.append(slot)
+            done.append(job)
         return done
 
     @property
@@ -231,9 +251,13 @@ class StreamingDecodeServer:
     """Background thread driving a SlotPool: submit windows, get futures."""
 
     def __init__(self, engine, n_slots: int = 16, t_mel: int = 3000,
-                 max_new: int = 128, int8_kv: bool = False):
+                 max_new: int = 128, int8_kv: bool = False,
+                 poll_interval: int = 4):
         self.engine = engine
         self.pool = SlotPool(engine, n_slots, t_mel, max_new, int8_kv=int8_kv)
+        # retire finished slots every N steps: each retirement check is a
+        # device->host fetch, i.e. a full round trip on remote backends
+        self.poll_interval = max(1, poll_interval)
         self._queue: "queue.Queue[_StreamJob]" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, name="slot-server", daemon=True)
@@ -263,7 +287,11 @@ class StreamingDecodeServer:
                 pending.pop(0)
             if self.pool.n_active:
                 try:
-                    self.pool.step()
+                    # retire on the poll cadence, when the pool is saturated
+                    # and work is waiting, or when every slot may be done
+                    retire = ((self.steps_run % self.poll_interval == 0)
+                              or (pending and not self.pool.free))
+                    self.pool.step(retire=retire)
                     self.steps_run += 1
                 except Exception as e:  # pragma: no cover
                     log.error("pool step failed: %s", e, exc_info=True)

@@ -55,7 +55,25 @@ def main(variants):
         "pos": jnp.full((B,), 16, jnp.int32),
     }
 
+    def make_prod():
+        """The production decode_step (deferred writes) under the same
+        50-step scan — comparable against the ablation variants."""
+
+        def run(params, cache):
+            def body(carry, _):
+                tok, cache = carry
+                logits, cache = W.decode_step(params, dims, tok, cache)
+                return (jnp.argmax(logits, axis=-1).astype(jnp.int32), cache), ()
+
+            (tok, _), _ = jax.lax.scan(body, (jnp.zeros((B,), jnp.int32), cache),
+                                       None, length=steps)
+            return tok
+
+        return jax.jit(run)
+
     def make_step(variant):
+        if variant == "prod":
+            return make_prod()
         do_self = variant not in ("noself",)
         do_write = variant not in ("nowrite", "noself")
         do_cross = variant != "nocross"
