@@ -110,6 +110,9 @@ def main():
     params = jax.tree.map(
         lambda x: jnp.asarray(x.astype(ml_dtypes.bfloat16) if x.ndim >= 2 else x),
         W.init_params_np(dims))
+    fuse = os.environ.get("BENCH_FUSE_QKV", "0") not in ("", "0", "false")
+    if fuse:
+        params = W.fuse_qkv_weights(params)
     int8_w = os.environ.get("BENCH_INT8_W", "0") not in ("", "0", "false")
     if int8_w:
         params = W.quantize_block_weights(params)
@@ -120,13 +123,19 @@ def main():
     # the byte saving loses to quantize/select overhead; it exists for slot-pool
     # memory headroom (64 large-v3 slots), not window-batch speed
     int8_self_kv = os.environ.get("BENCH_INT8_SELF_KV", "0") not in ("", "0", "false")
+    kv_write = os.environ.get("BENCH_KV_WRITE", "ring")  # 25.5->14.3 ms/step (PERF.md)
 
     def window_step(params, mel, prompt):
         """encode + cross-KV + prefill + fixed-length decode (the per-window
         serving pipeline, minus host-side logit rules which are O(vocab) adds)."""
         enc = W.encode(params, dims, mel)
+        # self-KV time axis capped at the actual token budget (see
+        # decode.transcribe_window): T=256 instead of 448 for 3+200 tokens —
+        # every step reads the full static T axis, so this is a ~43% cut in
+        # per-step self-KV traffic
+        t_cap = min(dims.n_text_ctx, -(-(prompt_len + decode_tokens + 1) // 128) * 128)
         cache = W.init_cache(dims, mel.shape[0], enc.shape[1], dtype=jnp.bfloat16,
-                             self_kv_int8=int8_self_kv)
+                             self_kv_int8=int8_self_kv, t_text=t_cap)
         ck, cv = W.compute_cross_kv(params, dims, enc, dtype=jnp.bfloat16)
         if int8_kv:
             kq, vq, ks, vs = W.quantize_cross_kv(ck, cv)
@@ -138,10 +147,43 @@ def main():
         # the self-KV Dh-minor (2x pad) + double-buffer it -> OOM at B=32
         logits, cache = W.decode_prefill(params, dims, prompt, cache)
         tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        if kv_write in ("uniform", "ring"):
+            # fill-layout decode: generated KV packs at a scalar offset
+            # (PERF.md "ring-buffered decode")
+            cache = W.arm_uniform_fill(cache, prompt_len)
+
+        if kv_write == "ring":
+            # chunked ring decode: per-step writes touch only a small ring;
+            # the big-cache copy (the 10 ms/step cost of ANY direct write)
+            # happens once per chunk
+            width = 16
+            while decode_tokens % width:
+                width //= 2
+            ring = W.init_ring(dims, batch, width)
+
+            def chunk(carry, _):
+                tok, cache, ring = carry
+
+                def body(c, _):
+                    tok, cache, ring = c
+                    logits, cache, ring = W.decode_step_ring(params, dims, tok,
+                                                             cache, ring)
+                    return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                            cache, ring), ()
+
+                (tok, cache, ring), _ = jax.lax.scan(body, (tok, cache, ring),
+                                                     None, length=width)
+                cache, ring = W.flush_ring(cache, ring)
+                return (tok, cache, ring), ()
+
+            (tok, _, _), _ = jax.lax.scan(chunk, (tok0, cache, ring), None,
+                                          length=decode_tokens // width)
+            return tok
 
         def body(carry, _):
             tok, cache = carry
-            logits, cache = W.decode_step(params, dims, tok, cache)
+            logits, cache = W.decode_step(params, dims, tok, cache,
+                                          kv_write=kv_write)
             return (jnp.argmax(logits, axis=-1).astype(jnp.int32), cache), ()
 
         (tok, _), _ = jax.lax.scan(body, (tok0, cache), None, length=decode_tokens)

@@ -73,6 +73,10 @@ class WhisperEngine(AsrEngine):
             return x.astype(dtype) if x.ndim >= 2 else x.astype(jnp.float32)
 
         self.params = jax.tree.map(to_dev, params)
+        if self.config.fuse_qkv:
+            # pure weight re-layout: one (d, 3d) qkv matmul per block instead
+            # of three (d, d) — fewer ops in the scanned decode step
+            self.params = W.fuse_qkv_weights(self.params)
         if self.config.weights_int8:
             # int8 decoder block weights (whisper.cpp ships q5/q8 ggml models
             # the same way; per-out-channel scales here)

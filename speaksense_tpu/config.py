@@ -66,6 +66,7 @@ class EngineConfig:
     compute_dtype: str = "bfloat16"
     cross_kv_int8: bool = False     # int8 cross-attention KV (2x less decode HBM traffic)
     weights_int8: bool = False      # int8 decoder block weights (per-out-channel scales)
+    fuse_qkv: bool = True           # one (d,3d) q/k/v projection per block (pure re-layout)
     # convert-once weight cache directory
     weight_cache_dir: str = "./asr_data/weights_cache"
 

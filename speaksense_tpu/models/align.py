@@ -43,9 +43,7 @@ def cross_attention_weights(params, dims: W.WhisperDims, tokens: jax.Array,
 
     def block(x, bp):
         h = W._ln(x, bp["attn_ln"])
-        q = W._split_heads(W._linear(h, bp["q"]), n_head)
-        k = W._split_heads(W._linear(h, bp["k"]), n_head)
-        v = W._split_heads(W._linear(h, bp["v"]), n_head)
+        q, k, v = W._qkv_proj(h, bp, n_head)
         x = x + W._linear(W._merge_heads(W._attention(q, k, v, causal)), bp["o"])
         h = W._ln(x, bp["cross_ln"])
         cq = W._split_heads(W._linear(h, bp["cq"]), n_head)

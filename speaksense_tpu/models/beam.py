@@ -38,14 +38,12 @@ def _beam_block_factory(dims: W.WhisperDims, B: int, K: int):
     n_head = dims.n_text_head
 
     def block(carry, xs):
-        x, pos = carry  # x (BK, 1, d); pos (BK,)
+        x, pos, mask = carry  # x (BK, 1, d); pos (BK,); mask (BK,1,1,T)
         bp, sk, sv, ck, cv = xs  # sk/sv (BK,H,Dh,T); ck/cv (B,H,Dh,A)
         h = W._ln(x, bp["attn_ln"])
-        q = W._split_heads(W._linear(h, bp["q"]), n_head)
-        k_new = W._split_heads(W._linear(h, bp["k"]), n_head)
-        v_new = W._split_heads(W._linear(h, bp["v"]), n_head)
+        q, k_new, v_new = W._qkv_proj(h, bp, n_head)
         attn = W._joint_decode_attention(q, sk.astype(q.dtype), sv.astype(q.dtype),
-                                         k_new, v_new, pos)
+                                         k_new, v_new, mask)
         x = x + W._linear(W._merge_heads(attn), bp["o"])
         # cross-attention: beams share their batch row's encoder KV
         h = W._ln(x, bp["cross_ln"])
@@ -62,8 +60,8 @@ def _beam_block_factory(dims: W.WhisperDims, B: int, K: int):
         x = x + W._linear(W._merge_heads(ctx), bp["co"])
         h = W._ln(x, bp["mlp_ln"])
         x = x + W._linear(jax.nn.gelu(W._linear(h, bp["fc1"]), approximate=False), bp["fc2"])
-        return (x, pos), (jnp.swapaxes(k_new, -1, -2).astype(sk.dtype),
-                          jnp.swapaxes(v_new, -1, -2).astype(sv.dtype))
+        return (x, pos, mask), (jnp.swapaxes(k_new, -1, -2).astype(sk.dtype),
+                                jnp.swapaxes(v_new, -1, -2).astype(sv.dtype))
 
     return block
 
@@ -87,8 +85,13 @@ def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
     L = cfg.max_new_tokens
     dtype = params["decoder"]["tok_emb"].dtype
 
-    # prompt prefill at beam granularity: replicate rows K-fold
-    cache = W.init_cache(dims, B * K, A, dtype=dtype)
+    # prompt prefill at beam granularity: replicate rows K-fold.
+    # Cap the self-KV time axis at the actual token budget (prompt + max_new,
+    # 128-lane aligned): every step physically reorders self-KV by parent
+    # beam (the take() below), so the gather traffic scales with T — a 30 s
+    # window never decodes n_text_ctx=448 positions here.
+    t_cap = min(dims.n_text_ctx, -(-(P + L) // 128) * 128)
+    cache = W.init_cache(dims, B * K, A, dtype=dtype, t_text=t_cap)
     ck, cv = W.compute_cross_kv(params, dims, enc_out, dtype=dtype)  # (L,B,H,A,Dh)
     rep = lambda x: jnp.repeat(x, K, axis=1)
     cache_rep = {**cache, "cross_k": rep(ck), "cross_v": rep(cv)}
@@ -105,22 +108,30 @@ def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
 
     block = _beam_block_factory(dims, B, K)
 
-    def run_blocks(tok, cache):
+    def run_blocks(tok, cache, fill):
+        """One decode step for all B*K rows. UNIFORM-FILL layout: generated
+        KV packs at [P, P + fill) — `fill` is the (scalar) step counter, the
+        same for every beam — so the deferred self-KV write is ONE batchwide
+        DUS at a scalar offset (the per-row DUS loop serializes over B*K
+        rows, PERF.md). The padded prompt gap [prompt_len, P) stays masked."""
         pos = cache["pos"]
         x = (params["decoder"]["tok_emb"][tok][:, None, :]
              + params["decoder"]["pos"][pos][:, None, :].astype(dtype))
-        (x, _), (k_new, v_new) = jax.lax.scan(
-            block, (x, pos),
+        t_idx = jnp.arange(cache["self_k"].shape[-1])[None, None, None, :]
+        mask = ((t_idx < (pos - fill)[:, None, None, None])
+                | ((t_idx >= P) & (t_idx < P + fill)))
+        (x, _, _), (k_new, v_new) = jax.lax.scan(
+            block, (x, pos, mask),
             (params["decoder"]["blocks"], cache["self_k"], cache["self_v"], ck, cv))
 
         # one batched cross-layer KV write (k_new/v_new: (L, BK, H, Dh, 1))
-        def upd(c, n, pb):
-            return jax.lax.dynamic_update_slice(c, n, (0, 0, 0, pb))
-
-        wr = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
+        z = jnp.zeros((), jnp.int32)
+        at = P + fill
         cache = {**cache,
-                 "self_k": wr(cache["self_k"], k_new, pos),
-                 "self_v": wr(cache["self_v"], v_new, pos),
+                 "self_k": jax.lax.dynamic_update_slice(
+                     cache["self_k"], k_new, (z, z, z, z, at)),
+                 "self_v": jax.lax.dynamic_update_slice(
+                     cache["self_v"], v_new, (z, z, z, z, at)),
                  "pos": pos + 1}
         return W._decoder_tail(params, x)[:, 0, :], cache
 
@@ -185,7 +196,7 @@ def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
             "self_v": jnp.take(cache["self_v"], rows, axis=1),
             "pos": jnp.take(cache["pos"], rows, axis=0),
         }
-        logits, cache = run_blocks(tok.reshape(-1), cache)
+        logits, cache = run_blocks(tok.reshape(-1), cache, s["step"])
 
         return dict(step=step + 1, logits=logits, cache=cache, tokens=tokens,
                     scores=top_scores, n_sampled=n_sampled, last=last,

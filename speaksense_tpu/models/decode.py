@@ -126,12 +126,19 @@ def _sample(logits: jax.Array, temperature: jax.Array, key: jax.Array) -> jax.Ar
 
 def decode_loop(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mask: jax.Array,
                 first_logits: jax.Array, cache: dict, temperature: jax.Array,
-                key: jax.Array, uniform_pos: bool = False):
+                key: jax.Array, uniform_pos: bool = False, kv_write: str = "dus",
+                ring_width: int = 16):
     """Run the sampling loop from the post-prompt logits until every slot
     emits EOT (or max_new_tokens). Returns dict of
       tokens (B, max_new) — sampled tokens, EOT-padded,
       n_sampled (B,) — count of real tokens (excluding EOT),
       sum_logprob (B,) — sum of sampled-token logprobs (including EOT).
+
+    kv_write="ring" (requires an arm_uniform_fill'd cache) decodes in chunks
+    of ring_width steps: self-KV writes go to a small ring and fold into the
+    big cache once per chunk — ANY per-step write to the big cache costs a
+    full cache copy (~10 ms at B=32 large-v3, PERF.md). Early exit then
+    happens at chunk granularity (finished slots just idle frozen).
     """
     B = first_logits.shape[0]
     L = cfg.max_new_tokens
@@ -149,6 +156,13 @@ def decode_loop(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mask: jax
         sum_lp=jnp.zeros((B,), jnp.float32),
         key=key,
     )
+    use_ring = kv_write == "ring"
+    if use_ring:
+        assert "fill" in cache, "ring decode needs an arm_uniform_fill'd cache"
+        width = ring_width
+        while L % width:  # chunks must tile max_new exactly
+            width //= 2
+        state["ring"] = W.init_ring(dims, B, width, dtype=cache["self_k"].dtype)
 
     def cond(s):
         return (s["step"] < L) & ~jnp.all(s["finished"])
@@ -169,8 +183,14 @@ def decode_loop(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mask: jax
         upd = active & ~newly_done
 
         # next-step logits (runs for all slots; finished slots are ignored)
-        logits, cache = W.decode_step(params, dims, tok, s["cache"],
-                                      uniform_pos=uniform_pos)
+        if use_ring:
+            logits, cache, ring = W.decode_step_ring(params, dims, tok,
+                                                     s["cache"], s["ring"])
+            extra = {"ring": ring}
+        else:
+            logits, cache = W.decode_step(params, dims, tok, s["cache"],
+                                          uniform_pos=uniform_pos, kv_write=kv_write)
+            extra = {}
 
         return dict(
             step=s["step"] + 1,
@@ -184,9 +204,18 @@ def decode_loop(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mask: jax
             finished=s["finished"] | newly_done,
             sum_lp=s["sum_lp"] + jnp.where(active, tok_lp, 0.0),
             key=key,
+            **extra,
         )
 
-    out = jax.lax.while_loop(cond, body, state)
+    if use_ring:
+        def chunk_body(s):
+            s, _ = jax.lax.scan(lambda c, _: (body(c), ()), s, None, length=width)
+            cache2, ring2 = W.flush_ring(s["cache"], s["ring"])
+            return {**s, "cache": cache2, "ring": ring2}
+
+        out = jax.lax.while_loop(cond, chunk_body, state)
+    else:
+        out = jax.lax.while_loop(cond, body, state)
     return dict(tokens=out["tokens"], n_sampled=out["n_sampled"], sum_logprob=out["sum_lp"])
 
 
@@ -196,7 +225,8 @@ def transcribe_window(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mas
                       n_audio_ctx: int | None = None,
                       prompt_len: jax.Array | None = None,
                       cross_kv_int8: bool = False,
-                      self_kv_int8: bool = False):
+                      self_kv_int8: bool = False,
+                      kv_write: str = "ring"):
     """Encode one batch of 30 s windows and decode them to tokens.
 
     mel (B, T_mel, n_mels); prompt (B, P) int32. Variable-length prompts
@@ -209,10 +239,19 @@ def transcribe_window(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mas
     Returns decode_loop outputs + avg_logprob (B,), no_speech_prob (B,).
     """
     B, P = prompt.shape
+    if self_kv_int8 and kv_write in ("uniform", "ring"):
+        # int8 self-KV (a slot-pool memory feature) keeps the per-slot write
+        # path — the ring stores bf16 rows only
+        kv_write = "dus"
     enc = W.encode(params, dims, mel, n_ctx_out=n_audio_ctx)
+    # Cap the self-KV time axis at the window's actual token budget (prompt +
+    # max_new, 128-lane aligned): every decode step reads the FULL static T
+    # axis, so a 448-position cache spends ~43% of its self-KV bandwidth on
+    # positions this window can never write (prompt 3 + 224 new -> 256).
+    t_cap = min(dims.n_text_ctx, -(-(P + cfg.max_new_tokens) // 128) * 128)
     cache = W.init_cache(dims, mel.shape[0], enc.shape[1],
                          dtype=params["decoder"]["tok_emb"].dtype,
-                         self_kv_int8=self_kv_int8)
+                         self_kv_int8=self_kv_int8, t_text=t_cap)
     ck, cv = W.compute_cross_kv(params, dims, enc, dtype=cache["cross_k"].dtype)
     if cross_kv_int8:
         # per-channel int8 cross-KV: halves the dominant decode-time HBM
@@ -240,8 +279,13 @@ def transcribe_window(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mas
     last_idx = (jnp.broadcast_to(jnp.asarray(P if prompt_len is None else prompt_len),
                                  (B,)) - 1).astype(jnp.int32)
     first_logits = prefill_logits[rows, last_idx]
+    if kv_write in ("uniform", "ring"):
+        # fill-layout decode: generated KV packs at [P, P + step) (see
+        # W.arm_uniform_fill; "ring" additionally buffers writes in a small
+        # chunk-local ring — decode_loop)
+        cache = W.arm_uniform_fill(cache, P)
     out = decode_loop(params, dims, cfg, suppress_mask, first_logits, cache,
-                      temperature, key, uniform_pos=uniform)
+                      temperature, key, uniform_pos=uniform, kv_write=kv_write)
     denom = (out["n_sampled"] + 1).astype(jnp.float32)
     out["avg_logprob"] = out["sum_logprob"] / denom
     out["no_speech_prob"] = no_speech_prob

@@ -362,9 +362,7 @@ def encode(params: Params, dims: WhisperDims, mel: jax.Array, n_ctx_out: int | N
 
     def block(x, bp):
         h = _ln(x, bp["attn_ln"])
-        q = _split_heads(_linear(h, bp["q"]), n_head)
-        k = _split_heads(_linear(h, bp["k"]), n_head)
-        v = _split_heads(_linear(h, bp["v"]), n_head)
+        q, k, v = _qkv_proj(h, bp, n_head)
         if flash:
             attn = _flash_attention_full(q, k, v)
         else:
@@ -515,23 +513,23 @@ def _cached_attention_q8(q: jax.Array, kq: jax.Array, vq: jax.Array,
 
 def _joint_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                             k_new: jax.Array, v_new: jax.Array,
-                            pos: jax.Array) -> jax.Array:
-    """Single-query self-attention over cached KV (strictly below pos) PLUS
+                            mask: jax.Array) -> jax.Array:
+    """Single-query self-attention over cached KV (where `mask` is True) PLUS
     the current token's k/v as one extra softmax column — mathematically
-    identical to writing k/v at pos first and attending to keys <= pos, but
+    identical to writing k/v first and attending to keys <= current, but
     WITHOUT the per-layer cache write. The write is deferred and batched
     across all layers after the scan (see decode_step): the per-layer vmap'd
     per-slot dynamic_update_slice lowers to a serial B-iteration loop and
     measured 22 of 34 ms/step at B=32 on large-v3 (PERF.md ablation).
 
-    q, k_new, v_new: (B, H, 1, Dh); k_cache/v_cache: (B, H, Dh, T); pos: (B,).
+    q, k_new, v_new: (B, H, 1, Dh); k_cache/v_cache: (B, H, Dh, T);
+    mask: True where a cached key is valid, broadcastable to (B, H, 1, T).
     """
     T = k_cache.shape[-1]
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bhpd,bhdt->bhpt", q, k_cache.astype(q.dtype),
                         preferred_element_type=jnp.float32) * scale
-    t_idx = jnp.arange(T)[None, None, None, :]
-    logits = jnp.where(t_idx < pos[:, None, None, None], logits, -1e30)
+    logits = jnp.where(mask, logits, -1e30)
     logit_self = jnp.sum(q.astype(jnp.float32) * k_new.astype(jnp.float32),
                          axis=-1, keepdims=True) * scale       # (B, H, 1, 1)
     joint = jax.nn.softmax(jnp.concatenate([logits, logit_self], axis=-1), axis=-1)
@@ -545,17 +543,17 @@ def _joint_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array
 def _joint_decode_attention_q8t(q: jax.Array, kq: jax.Array, vq: jax.Array,
                                 ks: jax.Array, vs: jax.Array,
                                 k_new: jax.Array, v_new: jax.Array,
-                                pos: jax.Array) -> jax.Array:
+                                mask: jax.Array) -> jax.Array:
     """Deferred-write joint attention over the int8 per-token-scaled self-KV
     cache plus the current token's (full-precision) k/v column.
-    q, k_new, v_new (B,H,1,Dh); kq/vq int8 (B,H,Dh,T); ks/vs f32 (B,H,T)."""
+    q, k_new, v_new (B,H,1,Dh); kq/vq int8 (B,H,Dh,T); ks/vs f32 (B,H,T);
+    mask: True where a cached key is valid, broadcastable to (B, H, 1, T)."""
     T = kq.shape[-1]
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bhpd,bhdt->bhpt", q, kq.astype(q.dtype),
                         preferred_element_type=jnp.float32)
     logits = logits * (ks[:, :, None, :] * scale)
-    t_idx = jnp.arange(T)[None, None, None, :]
-    logits = jnp.where(t_idx < pos[:, None, None, None], logits, -1e30)
+    logits = jnp.where(mask, logits, -1e30)
     logit_self = jnp.sum(q.astype(jnp.float32) * k_new.astype(jnp.float32),
                          axis=-1, keepdims=True) * scale
     joint = jax.nn.softmax(jnp.concatenate([logits, logit_self], axis=-1), axis=-1)
@@ -607,14 +605,14 @@ def _dec_block_factory(dims: WhisperDims, cross_quant: bool = False,
         use_pallas = single_step and not self_quant and _pallas_decode_enabled()
         # self-attention with cache (time-minor KV)
         h = _ln(x, bp["attn_ln"])
-        q = _split_heads(_linear(h, bp["q"]), n_head)
-        k_new = _split_heads(_linear(h, bp["k"]), n_head)
-        v_new = _split_heads(_linear(h, bp["v"]), n_head)
+        q, k_new, v_new = _qkv_proj(h, bp, n_head)
         out = {}
         if defer_write and self_quant:
+            # mask carries CACHED-key validity (strict — the current token is
+            # the joint column, not yet written)
             attn = _joint_decode_attention_q8t(q, xs["sk"], xs["sv"],
                                                xs["sks"], xs["svs"],
-                                               k_new, v_new, pos)
+                                               k_new, v_new, mask)
             kq, ksc = _quantize_kv_rows(k_new)
             vq, vsc = _quantize_kv_rows(v_new)
             out.update(k_new=jnp.swapaxes(kq, -1, -2),
@@ -624,7 +622,7 @@ def _dec_block_factory(dims: WhisperDims, cross_quant: bool = False,
             # no cache write in-layer: joint attention over stale cache + the
             # new token; k/v emitted as scan outputs, written batched across
             # layers afterwards (decode_step)
-            attn = _joint_decode_attention(q, xs["sk"], xs["sv"], k_new, v_new, pos)
+            attn = _joint_decode_attention(q, xs["sk"], xs["sv"], k_new, v_new, mask)
             out.update(k_new=jnp.swapaxes(k_new, -1, -2).astype(xs["sk"].dtype),
                        v_new=jnp.swapaxes(v_new, -1, -2).astype(xs["sv"].dtype))
         elif self_quant:
@@ -705,6 +703,53 @@ def compute_cross_kv(params: Params, dims: WhisperDims, enc_out: jax.Array, dtyp
 
     ks, vs = jax.lax.map(per_layer, params["decoder"]["blocks"])
     return ks, vs
+
+
+def fuse_qkv_weights(params: Params, encoder: bool = True) -> Params:
+    """Concatenate each block's q/k/v projections into ONE (d, 3d) linear
+    ("qkv"): a single MXU matmul per layer instead of three, which matters in
+    the decode step where the (B, d) activation is tiny and the weight read
+    dominates — fewer ops in the scan body, one weight-load pipeline instead
+    of three. k has no bias in whisper; the fused bias zero-fills that third.
+    The block factories detect "qkv" and split the output. Apply BEFORE
+    quantize_block_weights (the fused "w" is (L, d, 3d) and quantizes
+    per-output-channel exactly like the separate tensors would)."""
+    import numpy as onp
+
+    def fuse(blocks, d):
+        out = {k: v for k, v in blocks.items() if k not in ("q", "k", "v")}
+        wq, wk, wv = blocks["q"]["w"], blocks["k"]["w"], blocks["v"]["w"]
+        w = onp.concatenate([onp.asarray(wq), onp.asarray(wk), onp.asarray(wv)], axis=-1)
+        L = w.shape[0]
+        b = onp.concatenate([
+            onp.asarray(blocks["q"]["b"]),
+            onp.zeros((L, d), onp.asarray(blocks["q"]["b"]).dtype),
+            onp.asarray(blocks["v"]["b"]),
+        ], axis=-1)
+        out["qkv"] = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+        return out
+
+    new = dict(params)
+    new["decoder"] = {**params["decoder"],
+                      "blocks": fuse(params["decoder"]["blocks"],
+                                     params["decoder"]["blocks"]["q"]["w"].shape[-1])}
+    if encoder:
+        new["encoder"] = {**params["encoder"],
+                          "blocks": fuse(params["encoder"]["blocks"],
+                                         params["encoder"]["blocks"]["q"]["w"].shape[-1])}
+    return new
+
+
+def _qkv_proj(h: jax.Array, bp: Params, n_head: int):
+    """q/k/v projections, fused when the params carry a "qkv" entry."""
+    if "qkv" in bp:
+        d = h.shape[-1]
+        qkv = _linear(h, bp["qkv"])
+        q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
+    else:
+        q, k, v = _linear(h, bp["q"]), _linear(h, bp["k"]), _linear(h, bp["v"])
+    return (_split_heads(q, n_head), _split_heads(k, n_head),
+            _split_heads(v, n_head))
 
 
 def quantize_block_weights(params: Params, encoder: bool = False) -> Params:
@@ -803,8 +848,159 @@ def decode_prefill(params: Params, dims: WhisperDims, tokens: jax.Array, cache: 
     return _decoder_tail(params, x), cache
 
 
+def init_ring(dims: WhisperDims, batch: int, width: int = 16, dtype=jnp.bfloat16) -> Params:
+    """Chunk-local KV ring for ring-buffered decoding (decode_step_ring).
+
+    Why it exists (PERF.md 2026-08-16): ANY per-step write into the big
+    self-KV cache — per-slot DUS loop, full-tensor select, even a single
+    batchwide DUS at a scalar offset — makes XLA materialize a fresh copy of
+    the whole cache every step (~10 ms at B=32 large-v3; the cache is both a
+    layer-scan operand and the write target, so it cannot update in place).
+    The ring bounds the per-step copy to W columns: steps write here, and
+    flush_ring folds W columns into the big cache ONCE per chunk, amortizing
+    the unavoidable big copy W-fold.
+
+    Layout is ROW-major (L, B, H, W, Dh) — not time-minor like the big
+    cache: new k/v rows are (B, H, 1, Dh), so the per-step ring write needs
+    no transpose, and a W-minor ring would lane-pad W up to 128 (4x waste at
+    W=32). Dh=64 minor pads 2x, but on a tensor this small that is cheap;
+    the flush transposes once per chunk."""
+    L, H, Dh = dims.n_text_layer, dims.n_text_head, dims.n_text_state // dims.n_text_head
+    return {
+        "k": jnp.zeros((L, batch, H, width, Dh), dtype),
+        "v": jnp.zeros((L, batch, H, width, Dh), dtype),
+        "n": jnp.zeros((), jnp.int32),
+    }
+
+
+def flush_ring(cache: Params, ring: Params) -> tuple[Params, Params]:
+    """Fold the ring's n valid columns into the fill-layout cache at
+    [gen_base + fill, ...) and reset the ring. Writes the full W-column
+    window (garbage beyond n stays masked by `fill` accounting and is
+    overwritten by the next flush); requires the cache time axis to hold
+    gen_base + round_up(max_new, W) columns so the window never clamps."""
+    z = jnp.zeros((), jnp.int32)
+    at = cache["gen_base"] + cache["fill"]
+    rk = jnp.swapaxes(ring["k"], -1, -2).astype(cache["self_k"].dtype)
+    rv = jnp.swapaxes(ring["v"], -1, -2).astype(cache["self_v"].dtype)
+    cache = {**cache,
+             "self_k": jax.lax.dynamic_update_slice(
+                 cache["self_k"], rk, (z, z, z, z, at)),
+             "self_v": jax.lax.dynamic_update_slice(
+                 cache["self_v"], rv, (z, z, z, z, at)),
+             "fill": cache["fill"] + ring["n"]}
+    return cache, {**ring, "n": jnp.zeros((), jnp.int32)}
+
+
+def _joint_decode_attention_ring(q, k_cache, v_cache, mask_cache,
+                                 k_ring, v_ring, mask_ring, k_new, v_new):
+    """Single-query attention over THREE key groups in one softmax: the big
+    cache (prompt + archived generations), the chunk-local ring, and the
+    current token's k/v column. Exact same math as a fully-written cache.
+    q, k_new, v_new (B,H,1,Dh); k_cache/v_cache (B,H,Dh,T);
+    k_ring/v_ring (B,H,W,Dh) ROW-major; masks broadcastable to (B,H,1,T|W)."""
+    T = k_cache.shape[-1]
+    W = k_ring.shape[-2]
+    scale = q.shape[-1] ** -0.5
+    lc = jnp.einsum("bhpd,bhdt->bhpt", q, k_cache.astype(q.dtype),
+                    preferred_element_type=jnp.float32) * scale
+    lc = jnp.where(mask_cache, lc, -1e30)
+    lr = jnp.einsum("bhpd,bhwd->bhpw", q, k_ring.astype(q.dtype),
+                    preferred_element_type=jnp.float32) * scale
+    lr = jnp.where(mask_ring, lr, -1e30)
+    ls = jnp.sum(q.astype(jnp.float32) * k_new.astype(jnp.float32),
+                 axis=-1, keepdims=True) * scale
+    joint = jax.nn.softmax(jnp.concatenate([lc, lr, ls], axis=-1), axis=-1)
+    wc = joint[..., :T].astype(q.dtype)
+    wr = joint[..., T:T + W].astype(q.dtype)
+    ws = joint[..., T + W:]
+    out = jnp.einsum("bhpt,bhdt->bhpd", wc, v_cache.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("bhpw,bhwd->bhpd", wr, v_ring.astype(q.dtype),
+                           preferred_element_type=jnp.float32)
+    out = out + ws * v_new.astype(jnp.float32)
+    return out.astype(q.dtype)
+
+
+def decode_step_ring(params: Params, dims: WhisperDims, token: jax.Array,
+                     cache: Params, ring: Params):
+    """One autoregressive step with ring-buffered self-KV writes.
+
+    cache must be fill-layout (arm_uniform_fill) and is READ-ONLY here —
+    `fill` counts only ARCHIVED (flushed) columns. The current chunk's
+    generations live in `ring` (written at the scalar column ring["n"]).
+    Flush with flush_ring every W steps (see decode.decode_loop ring mode).
+    Self-KV must be bf16 (int8 self-KV is a slot-pool memory feature; the
+    window-batch path that uses rings never enables it)."""
+    p = params["decoder"]
+    pos = cache["pos"]
+    dtype = p["tok_emb"].dtype
+    x = p["tok_emb"][token][:, None, :] + p["pos"][pos][:, None, :].astype(dtype)
+    T = cache["self_k"].shape[-1]
+    W = ring["k"].shape[-2]
+    k_idx = jnp.arange(T)[None, None, None, :]
+    w_idx = jnp.arange(W)[None, None, None, :]
+    fill, base, n = cache["fill"], cache["gen_base"], ring["n"]
+    prompt_len = pos - (fill + n)
+    mask_cache = ((k_idx < prompt_len[:, None, None, None])
+                  | ((k_idx >= base) & (k_idx < base + fill)))
+    mask_ring = w_idx < n
+    n_head = dims.n_text_head
+    cross_quant = "cross_k_scale" in cache
+
+    def block(carry, xs):
+        x, = carry
+        bp = xs["bp"]
+        h = _ln(x, bp["attn_ln"])
+        q, k_new, v_new = _qkv_proj(h, bp, n_head)
+        attn = _joint_decode_attention_ring(
+            q, xs["sk"], xs["sv"], mask_cache,
+            xs["rk"], xs["rv"], mask_ring, k_new, v_new)
+        x = x + _linear(_merge_heads(attn), bp["o"])
+        h = _ln(x, bp["cross_ln"])
+        cq = _split_heads(_linear(h, bp["cq"]), n_head)
+        if cross_quant:
+            cattn = _cached_attention_q8(cq, xs["ck"], xs["cv"], xs["cks"], xs["cvs"], None)
+        else:
+            cattn = _cached_attention(cq, xs["ck"].astype(cq.dtype), xs["cv"].astype(cq.dtype), None)
+        x = x + _linear(_merge_heads(cattn), bp["co"])
+        h = _ln(x, bp["mlp_ln"])
+        x = x + _linear(jax.nn.gelu(_linear(h, bp["fc1"]), approximate=False), bp["fc2"])
+        # ring rows are (B, H, 1, Dh) — written row-major, no transpose
+        return (x,), (k_new.astype(xs["rk"].dtype), v_new.astype(xs["rv"].dtype))
+
+    xs = {"bp": p["blocks"], "sk": cache["self_k"], "sv": cache["self_v"],
+          "ck": cache["cross_k"], "cv": cache["cross_v"],
+          "rk": ring["k"], "rv": ring["v"]}
+    if cross_quant:
+        xs.update(cks=cache["cross_k_scale"], cvs=cache["cross_v_scale"])
+    (x,), (k_new, v_new) = jax.lax.scan(block, (x,), xs)
+    # k_new/v_new: (L, B, H, 1, Dh) — one row-major DUS at scalar row n
+    z = jnp.zeros((), jnp.int32)
+    ring = {"k": jax.lax.dynamic_update_slice(ring["k"], k_new, (z, z, z, n, z)),
+            "v": jax.lax.dynamic_update_slice(ring["v"], v_new, (z, z, z, n, z)),
+            "n": n + 1}
+    cache = {**cache, "pos": pos + 1}
+    return _decoder_tail(params, x)[:, 0, :], cache, ring
+
+
+def arm_uniform_fill(cache: Params, gen_base: int) -> Params:
+    """Arm a freshly prefilled cache for UNIFORM-FILL decoding: generated
+    tokens' KV is packed at [gen_base, gen_base + fill) where `fill` is a
+    scalar step counter shared by every slot — so the deferred self-KV write
+    in decode_step(kv_write="uniform") is one plain batchwide
+    dynamic_update_slice at a scalar offset instead of a serial per-slot
+    loop (measured 12.5 of 25.5 ms/step at B=32 large-v3, PERF.md). Works
+    with variable-length right-padded prompts: the padding gap
+    [prompt_len_b, gen_base) is masked out of attention forever.
+
+    gen_base must be the prefill's padded prompt length P."""
+    return {**cache, "fill": jnp.zeros((), jnp.int32),
+            "gen_base": jnp.asarray(gen_base, jnp.int32)}
+
+
 def decode_step(params: Params, dims: WhisperDims, token: jax.Array, cache: Params,
-                uniform_pos: bool = False):
+                uniform_pos: bool = False, kv_write: str = "dus"):
     """One autoregressive step for all slots. token: (B,) int32.
     Returns (logits (B, V), cache').
 
@@ -820,23 +1016,79 @@ def decode_step(params: Params, dims: WhisperDims, token: jax.Array, cache: Para
     dtype = p["tok_emb"].dtype
     x = p["tok_emb"][token][:, None, :] + p["pos"][pos][:, None, :].astype(dtype)  # (B,1,d)
     k_idx = jnp.arange(cache["self_k"].shape[-1])[None, None, None, :]
-    mask = k_idx <= pos[:, None, None, None]  # (B,1,1,T_max)
+
+    uniform_fill = kv_write == "uniform" and "fill" in cache
+    defer = not _pallas_decode_enabled()
+    if defer and uniform_fill:
+        # fill-layout cache (see arm_uniform_fill): prompt KV at
+        # [0, prompt_len_b) (right-padded region masked), generated KV packed
+        # at [gen_base, gen_base + fill) — the write offset gen_base + fill
+        # is a SCALAR shared by every slot, so the deferred write below is
+        # one plain batchwide DUS instead of a serial per-slot loop
+        fill, base = cache["fill"], cache["gen_base"]
+        prompt_len = pos - fill
+        mask = ((k_idx < prompt_len[:, None, None, None])
+                | ((k_idx >= base) & (k_idx < base + fill)))
+    elif defer:
+        # cached-key validity is STRICT (< pos): the current token enters as
+        # the joint column, its KV is written after the scan
+        mask = k_idx < pos[:, None, None, None]
+    else:
+        mask = k_idx <= pos[:, None, None, None]  # (B,1,1,T_max)
 
     xs, cross_quant, self_quant = _dec_scan_xs(params, cache)
-    defer = not _pallas_decode_enabled()
     block = _dec_block_factory(dims, cross_quant=cross_quant, self_quant=self_quant,
                                uniform_pos=uniform_pos, defer_write=defer)
     (x, _, _), out = jax.lax.scan(block, (x, pos, mask), xs)
-    if defer:
-        # batched cross-layer write: c (L, H, Dh, T) <- n (L, H, Dh, 1) at pos
-        def upd(c, n, pb):
-            return jax.lax.dynamic_update_slice(c, n, (0, 0, 0, pb))
-
-        wr = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
+    if defer and uniform_fill:
+        z = jnp.zeros((), jnp.int32)
+        at = base + fill
         cache = {**cache,
-                 "self_k": wr(cache["self_k"], out["k_new"], pos),
-                 "self_v": wr(cache["self_v"], out["v_new"], pos),
-                 "pos": pos + 1}
+                 "self_k": jax.lax.dynamic_update_slice(
+                     cache["self_k"], out["k_new"], (z, z, z, z, at)),
+                 "self_v": jax.lax.dynamic_update_slice(
+                     cache["self_v"], out["v_new"], (z, z, z, z, at)),
+                 "pos": pos + 1, "fill": fill + 1}
+        if self_quant:
+            cache["self_k_scale"] = jax.lax.dynamic_update_slice(
+                cache["self_k_scale"], out["ks_new"], (z, z, z, at))
+            cache["self_v_scale"] = jax.lax.dynamic_update_slice(
+                cache["self_v_scale"], out["vs_new"], (z, z, z, at))
+    elif defer:
+        # batched cross-layer write, selectable formulation (kv_write):
+        #  "dus"    — vmap'd dynamic_update_slice over slots: lowers to a
+        #             serial B-iteration sunk loop (per-slot offsets);
+        #  "select" — full-tensor where(t == pos[b]): rewrites the whole
+        #             cache (bandwidth) but is one fused batched op;
+        #  "uniform"— all slots at the SAME position (window-batched decode):
+        #             one plain batchwide DUS at a scalar offset;
+        #  "none"   — skip the write (microbench bound; WRONG numerics).
+        if kv_write == "uniform":
+            z = jnp.zeros((), jnp.int32)
+            cache = {**cache,
+                     "self_k": jax.lax.dynamic_update_slice(
+                         cache["self_k"], out["k_new"], (z, z, z, z, pos[0])),
+                     "self_v": jax.lax.dynamic_update_slice(
+                         cache["self_v"], out["v_new"], (z, z, z, z, pos[0])),
+                     "pos": pos + 1}
+        elif kv_write == "select":
+            t_idx = jnp.arange(cache["self_k"].shape[-1])
+            sel = (t_idx[None, :] == pos[:, None])[None, :, None, None, :]
+            cache = {**cache,
+                     "self_k": jnp.where(sel, out["k_new"], cache["self_k"]),
+                     "self_v": jnp.where(sel, out["v_new"], cache["self_v"]),
+                     "pos": pos + 1}
+        elif kv_write == "none":
+            cache = {**cache, "pos": pos + 1}
+        else:
+            def upd(c, n, pb):
+                return jax.lax.dynamic_update_slice(c, n, (0, 0, 0, pb))
+
+            wr = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
+            cache = {**cache,
+                     "self_k": wr(cache["self_k"], out["k_new"], pos),
+                     "self_v": wr(cache["self_v"], out["v_new"], pos),
+                     "pos": pos + 1}
         if self_quant:
             def upd_s(c, n, pb):  # c (L, H, T) <- n (L, H, 1)
                 return jax.lax.dynamic_update_slice(c, n, (0, 0, pb))

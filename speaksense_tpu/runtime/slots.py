@@ -83,40 +83,51 @@ class SlotPool:
         # max_new), lane-aligned — a 96-token streaming pool reads 3.5x less
         # self-KV per step than the full 448-position cache
         t_text = min(dims.n_text_ctx, ((32 + max_new + 127) // 128) * 128)
-        cache = W.init_cache(dims, S, self.n_audio_ctx, dtype=dtype,
+        # S+1 rows: row S is a SCRATCH slot — batched admissions pad their
+        # slot-index vector with S, so dummy rows scatter harmlessly into it
+        # (its active flag is always forced False)
+        cache = W.init_cache(dims, S + 1, self.n_audio_ctx, dtype=dtype,
                              self_kv_int8=int8_kv, t_text=t_text)
         if int8_kv:
             L, H = dims.n_text_layer, dims.n_text_head
             Dh = dims.n_text_state // dims.n_text_head
             cache["cross_k"] = jnp.zeros(cache["cross_k"].shape, jnp.int8)
             cache["cross_v"] = jnp.zeros(cache["cross_v"].shape, jnp.int8)
-            cache["cross_k_scale"] = jnp.zeros((L, S, H, Dh, 1), jnp.float32)
-            cache["cross_v_scale"] = jnp.zeros((L, S, H, Dh, 1), jnp.float32)
+            cache["cross_k_scale"] = jnp.zeros((L, S + 1, H, Dh, 1), jnp.float32)
+            cache["cross_v_scale"] = jnp.zeros((L, S + 1, H, Dh, 1), jnp.float32)
         self.state = dict(
             **cache,
-            tokens=jnp.full((S, max_new), self.cfg.eot, jnp.int32),
-            last_logits=jnp.zeros((S, dims.n_vocab), jnp.float32),
-            n_sampled=jnp.zeros((S,), jnp.int32),
-            last=jnp.zeros((S,), jnp.int32),
-            penult=jnp.zeros((S,), jnp.int32),
-            last_ts=jnp.zeros((S,), jnp.int32),
-            active=jnp.zeros((S,), bool),
-            sum_lp=jnp.zeros((S,), jnp.float32),
+            tokens=jnp.full((S + 1, max_new), self.cfg.eot, jnp.int32),
+            last_logits=jnp.zeros((S + 1, dims.n_vocab), jnp.float32),
+            n_sampled=jnp.zeros((S + 1,), jnp.int32),
+            last=jnp.zeros((S + 1,), jnp.int32),
+            penult=jnp.zeros((S + 1,), jnp.int32),
+            last_ts=jnp.zeros((S + 1,), jnp.int32),
+            active=jnp.zeros((S + 1,), bool),
+            sum_lp=jnp.zeros((S + 1,), jnp.float32),
         )
         self.free: list[int] = list(range(S))
         self.jobs: dict[int, _StreamJob] = {}
-        self._admit_fn = None
-        self._step_fn = None
+        self._admit_fns: dict[tuple[int, int], object] = {}
+        self._step_fns: dict[int, object] = {}
 
     # ---------------------------------------------------------------- jitted
 
-    def _build_admit(self, prompt_len: int):
+    def _build_admit(self, n: int, prompt_len: int):
+        """Batched admission: encode + cross-KV + prefill for n windows in
+        ONE program, scattered into n pool slots. Dummy rows (padding a
+        partial bucket) carry slot index S — the scratch row — and
+        valid=False; their writes land harmlessly and scratch never
+        activates. One dispatch instead of n means ONE whole-pool state copy
+        (donation does not alias on the remote backend) and a batched
+        encode/prefill."""
         dims, cfg = self.dims, self.cfg
+        S = self.S
 
-        def admit(params, state, mel, slot, prompt):
-            # one-window prefill into slot `slot`
+        def admit(params, state, mel, slots, prompts, plen, valid):
+            # mel (n, t_mel, n_mels); slots/plen/valid (n,); prompts (n, P)
             enc = W.encode(params, dims, mel, n_ctx_out=self.n_audio_ctx)
-            cache1 = W.init_cache(dims, 1, enc.shape[1], dtype=self.engine.dtype,
+            cache1 = W.init_cache(dims, n, enc.shape[1], dtype=self.engine.dtype,
                                   self_kv_int8=self.int8_kv,
                                   t_text=self.state["self_k"].shape[-1])
             ck, cv = W.compute_cross_kv(params, dims, enc, dtype=self.engine.dtype)
@@ -126,25 +137,30 @@ class SlotPool:
                           "cross_k_scale": ks, "cross_v_scale": vs}
             else:
                 cache1 = {**cache1, "cross_k": ck, "cross_v": cv}
-            logits, cache1 = W.decode_prefill(params, dims, prompt, cache1)
+            logits, cache1 = W.decode_prefill(params, dims, prompts, cache1,
+                                              prompt_len=plen)
 
+            rows = jnp.arange(n)
             new = dict(state)
             for k in _KV_KEYS:
                 if k in cache1:
-                    new[k] = jax.lax.dynamic_update_index_in_dim(
-                        state[k], cache1[k][:, 0], slot, 1)
-            new["pos"] = state["pos"].at[slot].set(cache1["pos"][0])
-            new["last_logits"] = state["last_logits"].at[slot].set(logits[0, -1].astype(jnp.float32))
-            new["tokens"] = state["tokens"].at[slot].set(jnp.full((self.max_new,), cfg.eot, jnp.int32))
+                    new[k] = state[k].at[:, slots].set(cache1[k])
+            new["pos"] = state["pos"].at[slots].set(cache1["pos"])
+            last = logits[rows, plen - 1].astype(jnp.float32)
+            new["last_logits"] = state["last_logits"].at[slots].set(last)
+            new["tokens"] = state["tokens"].at[slots].set(
+                jnp.full((n, self.max_new), cfg.eot, jnp.int32))
+            zeros = jnp.zeros((n,), jnp.int32)
             for k in ("n_sampled", "last", "penult", "last_ts"):
-                new[k] = state[k].at[slot].set(0)
-            new["sum_lp"] = state["sum_lp"].at[slot].set(0.0)
-            new["active"] = state["active"].at[slot].set(True)
+                new[k] = state[k].at[slots].set(zeros)
+            new["sum_lp"] = state["sum_lp"].at[slots].set(jnp.zeros((n,), jnp.float32))
+            active = state["active"].at[slots].set(valid)
+            new["active"] = active.at[S].set(False)  # scratch never activates
             return new
 
         return jax.jit(admit, donate_argnums=(1,))
 
-    def _build_step(self):
+    def _build_step(self, k: int = 1):
         dims, cfg = self.dims, self.cfg
 
         def step(params, suppress, state):
@@ -183,36 +199,82 @@ class SlotPool:
             finished_now = newly_done | hit_cap
             return new, finished_now
 
-        return jax.jit(step, donate_argnums=(2,))
+        if k == 1:
+            return jax.jit(step, donate_argnums=(2,))
+
+        # k decode steps in ONE dispatch: buffer donation does not alias on
+        # the remote backend (PERF.md), so every jit call copies the whole
+        # pool state (~GBs) — scanning k steps inside the program amortizes
+        # that copy k-fold. Slots that finish mid-scan freeze (active=False
+        # masks all their updates), so retirement semantics are unchanged.
+        def step_k(params, suppress, state):
+            def body(s, _):
+                s2, _fin = step(params, suppress, s)
+                return s2, ()
+
+            state, _ = jax.lax.scan(body, state, None, length=k)
+            return state, None
+
+        return jax.jit(step_k, donate_argnums=(2,))
 
     # ------------------------------------------------------------------ host
 
+    # admission bucket sizes: 1 for trickle, 8 for bursts (each (bucket,
+    # prompt_len) pair is one compiled program)
+    ADMIT_BUCKETS = (1, 8)
+
+    def admit_many(self, jobs: list[_StreamJob]) -> int:
+        """Admit up to one bucket's worth of jobs in a single dispatch.
+        Returns how many were admitted (0 if the pool is full)."""
+        take = min(len(jobs), len(self.free), max(self.ADMIT_BUCKETS))
+        if take == 0:
+            return 0
+        bucket = next(b for b in self.ADMIT_BUCKETS if b >= take)
+        batch = jobs[:take]
+        P = max(len(j.prompt) for j in batch)
+
+        slots = np.full((bucket,), self.S, np.int32)       # padding -> scratch
+        valid = np.zeros((bucket,), bool)
+        plen = np.ones((bucket,), np.int32)
+        prompts = np.full((bucket, P), self.cfg.eot, np.int32)
+        mel = np.zeros((bucket,) + batch[0].mel.shape, np.float32)
+        for i, job in enumerate(batch):
+            slot = self.free.pop()
+            job.slot = slot
+            slots[i], valid[i], plen[i] = slot, True, len(job.prompt)
+            prompts[i, : len(job.prompt)] = job.prompt
+            mel[i] = job.mel
+            self.jobs[slot] = job
+
+        key = (bucket, P)
+        fn = self._admit_fns.get(key)
+        if fn is None:
+            fn = self._admit_fns[key] = self._build_admit(bucket, P)
+        self.state = fn(self.engine.params, self.state, jnp.asarray(mel),
+                        jnp.asarray(slots), jnp.asarray(prompts),
+                        jnp.asarray(plen), jnp.asarray(valid))
+        return take
+
     def admit(self, job: _StreamJob) -> bool:
-        if not self.free:
-            return False
-        slot = self.free.pop()
-        job.slot = slot
-        prompt = jnp.asarray(np.asarray(job.prompt, np.int32)[None, :])
-        if self._admit_fn is None:
-            self._admit_fn = self._build_admit(len(job.prompt))
-        mel = jnp.asarray(job.mel[None])
-        self.state = self._admit_fn(self.engine.params, self.state, mel,
-                                    jnp.int32(slot), prompt)
-        self.jobs[slot] = job
-        return True
+        return self.admit_many([job]) == 1
 
-    def step(self, retire: bool = True) -> list[_StreamJob]:
-        """One pool-wide decode step; returns jobs that finished.
+    def step(self, retire: bool = True, k: int = 1) -> list[_StreamJob]:
+        """k pool-wide decode steps in one dispatch; returns jobs that
+        finished.
 
-        retire=False skips the device->host fetch entirely — on a
-        remote-relay backend every fetch costs a round trip PER TOKEN, which
-        dominated the serving benchmark. The host loop retires every
-        `poll_interval` steps instead (a finished slot just idles frozen for
-        a few extra steps)."""
-        if self._step_fn is None:
-            self._step_fn = self._build_step()
-        self.state, _ = self._step_fn(self.engine.params, self.suppress,
-                                      self.state)
+        k > 1 scans k steps inside one jitted program: buffer donation does
+        not alias on the remote backend, so each dispatch copies the whole
+        pool state — batching steps amortizes that copy (finished slots
+        freeze mid-scan; retirement is unchanged).
+
+        retire=False additionally skips the device->host fetch — on a
+        remote-relay backend every fetch costs a round trip, which dominated
+        the serving benchmark. The host loop retires every `poll_interval`
+        dispatches instead (a finished slot just idles frozen briefly)."""
+        fn = self._step_fns.get(k)
+        if fn is None:
+            fn = self._step_fns[k] = self._build_step(k)
+        self.state, _ = fn(self.engine.params, self.suppress, self.state)
         if not retire:
             return []
         return self.retire_finished()
@@ -252,12 +314,17 @@ class StreamingDecodeServer:
 
     def __init__(self, engine, n_slots: int = 16, t_mel: int = 3000,
                  max_new: int = 128, int8_kv: bool = False,
-                 poll_interval: int = 4):
+                 poll_interval: int = 1, steps_per_dispatch: int = 4):
         self.engine = engine
         self.pool = SlotPool(engine, n_slots, t_mel, max_new, int8_kv=int8_kv)
-        # retire finished slots every N steps: each retirement check is a
-        # device->host fetch, i.e. a full round trip on remote backends
+        # retire finished slots every N dispatches: each retirement check is
+        # a device->host fetch, i.e. a full round trip on remote backends
         self.poll_interval = max(1, poll_interval)
+        # decode steps scanned per dispatch (amortizes the cross-call state
+        # copy — donation does not alias on the remote backend); admissions
+        # happen between dispatches, i.e. at steps_per_dispatch-token
+        # granularity
+        self.steps_per_dispatch = max(1, steps_per_dispatch)
         self._queue: "queue.Queue[_StreamJob]" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, name="slot-server", daemon=True)
@@ -274,24 +341,28 @@ class StreamingDecodeServer:
     def _loop(self) -> None:
         pending: list[_StreamJob] = []
         while not self._stop.is_set():
-            # admit as many as fit — BETWEEN steps, i.e. token granularity
+            # drain the submit queue (block briefly only when idle), then
+            # admit in bucket-sized batched dispatches — BETWEEN step
+            # dispatches, i.e. token-granularity continuous batching
             while True:
-                if not pending:
-                    try:
-                        timeout = 0.0005 if self.pool.n_active else 0.05
-                        pending.append(self._queue.get(timeout=timeout))
-                    except queue.Empty:
-                        break
-                if not self.pool.admit(pending[0]):
+                try:
+                    timeout = (0.0 if pending or self.pool.n_active else 0.05)
+                    pending.append(self._queue.get(timeout=timeout)
+                                   if timeout else self._queue.get_nowait())
+                except queue.Empty:
                     break
-                pending.pop(0)
+            while pending and self.pool.free:
+                n = self.pool.admit_many(pending)
+                if n == 0:
+                    break
+                del pending[:n]
             if self.pool.n_active:
                 try:
                     # retire on the poll cadence, when the pool is saturated
                     # and work is waiting, or when every slot may be done
                     retire = ((self.steps_run % self.poll_interval == 0)
                               or (pending and not self.pool.free))
-                    self.pool.step(retire=retire)
+                    self.pool.step(retire=retire, k=self.steps_per_dispatch)
                     self.steps_run += 1
                 except Exception as e:  # pragma: no cover
                     log.error("pool step failed: %s", e, exc_info=True)

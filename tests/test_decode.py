@@ -312,3 +312,91 @@ def test_deferred_write_step_matches_prefill(tiny_model, rng):
     step_logits = np.stack(step_logits, axis=1)  # (B, T, V)
     np.testing.assert_allclose(step_logits, np.asarray(full_logits),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_qkv_matches_unfused(tiny_model, rng):
+    """fuse_qkv_weights (one (d,3d) projection per block) is a pure weight
+    re-layout: encoder states and decode_step logits must match the
+    three-matmul path exactly (same math, f32)."""
+    params, dims = tiny_model
+    fused = W.fuse_qkv_weights(params)
+    assert "qkv" in fused["decoder"]["blocks"] and "q" not in fused["decoder"]["blocks"]
+    B = 2
+    mel = jnp.asarray(rng.standard_normal((B, 3000, dims.n_mels)), jnp.float32)
+    enc = W.encode(params, dims, mel)
+    enc_f = W.encode(fused, dims, mel)
+    np.testing.assert_allclose(np.asarray(enc_f), np.asarray(enc), rtol=1e-5, atol=1e-5)
+
+    toks = np.asarray([TOK.sot_sequence("en") + [100, 200]] * B, np.int32)
+    logits = W.decode_logits(params, dims, jnp.asarray(toks), enc)
+    logits_f = W.decode_logits(fused, dims, jnp.asarray(toks), enc)
+    np.testing.assert_allclose(np.asarray(logits_f), np.asarray(logits),
+                               rtol=1e-4, atol=1e-4)
+
+    # step path (deferred writes) with fused weights
+    ck, cv = W.compute_cross_kv(params, dims, enc, dtype=jnp.float32)
+    cache = W.init_cache(dims, B, enc.shape[1], dtype=jnp.float32)
+    cache = {**cache, "cross_k": ck, "cross_v": cv}
+    s1, _ = W.decode_step(params, dims, jnp.asarray(toks[:, 0]), cache)
+    cache = W.init_cache(dims, B, enc.shape[1], dtype=jnp.float32)
+    cache = {**cache, "cross_k": ck, "cross_v": cv}
+    s2, _ = W.decode_step(fused, dims, jnp.asarray(toks[:, 0]), cache)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_qkv_then_int8_weights_runs(tiny_model, rng):
+    """fuse + per-channel int8 quantization compose (quantize sees the fused
+    (L, d, 3d) tensor); decode still runs and logits stay close to f32."""
+    params, dims = tiny_model
+    fq = W.quantize_block_weights(W.fuse_qkv_weights(params))
+    B = 2
+    mel = jnp.asarray(rng.standard_normal((B, 3000, dims.n_mels)), jnp.float32)
+    enc = W.encode(params, dims, mel)
+    toks = np.asarray([TOK.sot_sequence("en") + [100]] * B, np.int32)
+    ref = np.asarray(W.decode_logits(params, dims, jnp.asarray(toks), enc))
+    got = np.asarray(W.decode_logits(fq, dims, jnp.asarray(toks), enc))
+    # int8 weights: small quantization error, same argmax structure
+    assert np.abs(got - ref).max() < 0.15
+    assert (np.argmax(got, -1) == np.argmax(ref, -1)).mean() > 0.9
+
+
+def test_uniform_fill_matches_dus(tiny_model, rng):
+    """kv_write="uniform" (fill-layout: generated KV packed at a scalar
+    offset, padded prompt gap masked) must produce identical logits to the
+    per-slot DUS path, including with variable-length right-padded prompts."""
+    params, dims = tiny_model
+    B = 3
+    mel = jnp.asarray(rng.standard_normal((B, 3000, dims.n_mels)), jnp.float32)
+    enc = W.encode(params, dims, mel)
+    ck, cv = W.compute_cross_kv(params, dims, enc, dtype=jnp.float32)
+    P = 6
+    prompts = np.full((B, P), 7, np.int32)
+    plen = np.asarray([6, 3, 5], np.int32)
+    toks = np.asarray([[11, 12, 13, 14], [21, 22, 23, 24], [31, 32, 33, 34]], np.int32)
+
+    def fresh():
+        cache = W.init_cache(dims, B, enc.shape[1], dtype=jnp.float32)
+        return {**cache, "cross_k": ck, "cross_v": cv}
+
+    # reference: per-slot DUS writes (generated KV right after each true prompt)
+    cache = fresh()
+    _, cache = W.decode_prefill(params, dims, jnp.asarray(prompts), cache,
+                                prompt_len=jnp.asarray(plen))
+    ref = []
+    for t in range(toks.shape[1]):
+        logits, cache = W.decode_step(params, dims, jnp.asarray(toks[:, t]), cache)
+        ref.append(np.asarray(logits))
+
+    # uniform-fill: generated KV packed at [P, P+step)
+    cache = fresh()
+    _, cache = W.decode_prefill(params, dims, jnp.asarray(prompts), cache,
+                                prompt_len=jnp.asarray(plen))
+    cache = W.arm_uniform_fill(cache, P)
+    got = []
+    for t in range(toks.shape[1]):
+        logits, cache = W.decode_step(params, dims, jnp.asarray(toks[:, t]), cache,
+                                      kv_write="uniform")
+        got.append(np.asarray(logits))
+    assert int(np.asarray(cache["fill"])) == toks.shape[1]
+    for t in range(toks.shape[1]):
+        np.testing.assert_allclose(got[t], ref[t], rtol=2e-5, atol=2e-5)

@@ -43,7 +43,9 @@ def test_pool_serves_more_streams_than_slots(engine, rng):
                 assert r["tokens"][0] >= tok.ts_begin  # rules hold in the pool
         assert server.pool.n_active == 0
         assert sorted(server.pool.free) == [0, 1]  # slots recycled
-        assert server.steps_run >= max(r["n_sampled"] for r in results)
+        # steps_run counts DISPATCHES (steps_per_dispatch decode steps each)
+        total_steps = server.steps_run * server.steps_per_dispatch
+        assert total_steps >= max(r["n_sampled"] for r in results)
     finally:
         server.stop()
 

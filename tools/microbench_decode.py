@@ -55,15 +55,133 @@ def main(variants):
         "pos": jnp.full((B,), 16, jnp.int32),
     }
 
-    def make_prod():
+    def make_prod(kv_write="dus", fuse=False):
         """The production decode_step (deferred writes) under the same
-        50-step scan — comparable against the ablation variants."""
+        50-step scan — comparable against the ablation variants.
+        kv_write selects the batched self-KV write formulation; fuse runs
+        with fuse_qkv_weights applied."""
+        p = W.fuse_qkv_weights(params) if fuse else params
 
         def run(params, cache):
             def body(carry, _):
                 tok, cache = carry
-                logits, cache = W.decode_step(params, dims, tok, cache)
+                logits, cache = W.decode_step(params, dims, tok, cache,
+                                              kv_write=kv_write)
                 return (jnp.argmax(logits, axis=-1).astype(jnp.int32), cache), ()
+
+            (tok, _), _ = jax.lax.scan(body, (jnp.zeros((B,), jnp.int32), cache),
+                                       None, length=steps)
+            return tok
+
+        fn = jax.jit(run)
+        return lambda _params, cache: fn(p, cache)
+
+    def make_ring(width=16):
+        """Ring-buffered decode (production decode_step_ring + flush_ring):
+        steps write a small (L,B,H,W,Dh) ring; the big-cache copy happens
+        once per W steps. 48 steps = 3 chunks of 16 (timing divides by the
+        global `steps`; 48 vs 50 biases the per-step number 4% HIGH —
+        conservative)."""
+
+        def run(params, cache):
+            cache = W.arm_uniform_fill(cache, 16)  # pos starts at 16 in cache0
+
+            def chunk(carry, _):
+                tok, cache, ring = carry
+
+                def body(c, _):
+                    tok, cache, ring = c
+                    logits, cache, ring = W.decode_step_ring(params, dims, tok,
+                                                             cache, ring)
+                    return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                            cache, ring), ()
+
+                (tok, cache, ring), _ = jax.lax.scan(
+                    body, (tok, cache, ring), None, length=width)
+                cache, ring = W.flush_ring(cache, ring)
+                return (tok, cache, ring), ()
+
+            ring = W.init_ring(dims, B, width=width)
+            (tok, _, _), _ = jax.lax.scan(
+                chunk, (jnp.zeros((B,), jnp.int32), cache, ring),
+                None, length=3)
+            return tok
+
+        return jax.jit(run)
+
+    def make_scatter():
+        """Self-contained alt-layout experiment: self-KV stored
+        (L, H, Dh, B, T) — slot axis SECOND-minor — so the per-slot column
+        write is ONE scatter into the flattened (B*T) axis at indices
+        b*T + pos[b], instead of a serial B-iteration DUS loop. Attention
+        reads use the (B, T)-unflattened view. Joint-column attention (no
+        in-layer write), matching the production deferred path."""
+        T = dims.n_text_ctx
+        L, H_, Dh_ = dims.n_text_layer, dims.n_text_head, dims.n_text_state // dims.n_text_head
+
+        def block(carry, xs):
+            x, pos = carry
+            bp = xs["bp"]
+            h = W._ln(x, bp["attn_ln"])
+            q, k_new, v_new = W._qkv_proj(h, bp, n_head)  # (B,H,1,Dh)
+            # joint attention over (H, Dh, B, T) cache
+            sk, sv = xs["sk"], xs["sv"]  # (H, Dh, B, T)
+            scale = q.shape[-1] ** -0.5
+            logits = jnp.einsum("bhpd,hdbt->bhpt", q, sk.astype(q.dtype),
+                                preferred_element_type=jnp.float32) * scale
+            t_idx = jnp.arange(T)[None, None, None, :]
+            logits = jnp.where(t_idx < pos[:, None, None, None], logits, -1e30)
+            logit_self = jnp.sum(q.astype(jnp.float32) * k_new.astype(jnp.float32),
+                                 axis=-1, keepdims=True) * scale
+            joint = jax.nn.softmax(jnp.concatenate([logits, logit_self], axis=-1), axis=-1)
+            wc, ws = joint[..., :T].astype(q.dtype), joint[..., T:]
+            attn = jnp.einsum("bhpt,hdbt->bhpd", wc, sv.astype(q.dtype),
+                              preferred_element_type=jnp.float32)
+            attn = (attn + ws * v_new.astype(jnp.float32)).astype(q.dtype)
+            x = x + W._linear(W._merge_heads(attn), bp["o"])
+            h = W._ln(x, bp["cross_ln"])
+            cq = W._split_heads(W._linear(h, bp["cq"]), n_head)
+            cattn = W._cached_attention_q8(cq, xs["ck"], xs["cv"],
+                                           xs["cks"], xs["cvs"], None)
+            x = x + W._linear(W._merge_heads(cattn), bp["co"])
+            h = W._ln(x, bp["mlp_ln"])
+            x = x + W._linear(jax.nn.gelu(W._linear(h, bp["fc1"]), approximate=False), bp["fc2"])
+            # emit new k/v as (H, Dh, B, 1) for the post-scan scatter
+            out_k = jnp.transpose(k_new[:, :, 0, :], (1, 2, 0))[..., None]
+            out_v = jnp.transpose(v_new[:, :, 0, :], (1, 2, 0))[..., None]
+            return (x, pos), (out_k, out_v)
+
+        def step(params, tok, cache):
+            p = params["decoder"]
+            pos = cache["pos"]
+            x = p["tok_emb"][tok][:, None, :] + p["pos"][pos][:, None, :].astype(jnp.bfloat16)
+            xs = {"bp": p["blocks"], "sk": cache["self_k"], "sv": cache["self_v"],
+                  "ck": cache["cross_k"], "cv": cache["cross_v"],
+                  "cks": cache["cross_k_scale"], "cvs": cache["cross_v_scale"]}
+            (x, _), (k_new, v_new) = jax.lax.scan(block, (x, pos), xs)
+            # ONE scatter for all (L, B): flatten (B, T) -> B*T, write column
+            # b*T + pos[b]. k_new: (L, H, Dh, B, 1) -> updates (B,) columns.
+            flat_idx = (jnp.arange(B) * T + pos)  # (B,)
+
+            def wr(c, n):  # c (L,H,Dh,B,T), n (L,H,Dh,B,1)
+                cf = c.reshape(L, H_, Dh_, B * T)
+                cf = cf.at[..., flat_idx].set(n[..., 0])
+                return cf.reshape(L, H_, Dh_, B, T)
+
+            cache = {**cache, "self_k": wr(cache["self_k"], k_new),
+                     "self_v": wr(cache["self_v"], v_new), "pos": pos + 1}
+            logits = W._decoder_tail(params, x)[:, 0, :]
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+        def run(params, cache):
+            # transpose self-KV into the (L, H, Dh, B, T) layout once
+            cache = {**cache,
+                     "self_k": jnp.transpose(cache["self_k"], (0, 2, 3, 1, 4)),
+                     "self_v": jnp.transpose(cache["self_v"], (0, 2, 3, 1, 4))}
+
+            def body(carry, _):
+                tok, cache = carry
+                return step(params, tok, cache), ()
 
             (tok, _), _ = jax.lax.scan(body, (jnp.zeros((B,), jnp.int32), cache),
                                        None, length=steps)
@@ -74,6 +192,18 @@ def main(variants):
     def make_step(variant):
         if variant == "prod":
             return make_prod()
+        if variant == "jnone":
+            return make_prod(kv_write="none")
+        if variant == "jselect":
+            return make_prod(kv_write="select")
+        if variant == "juniform":
+            return make_prod(kv_write="uniform")
+        if variant == "jscatter":
+            return make_scatter()
+        if variant == "fused":
+            return make_prod(fuse=True)
+        if variant == "jring":
+            return make_ring()
         do_self = variant not in ("noself",)
         do_write = variant not in ("nowrite", "noself")
         do_cross = variant != "nocross"
