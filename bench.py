@@ -80,7 +80,7 @@ def bench_slots(model_name: str, decode_tokens: int):
     print(json.dumps({
         "metric": f"{model_name} slot-pool streaming serving real-time factor "
                   f"({slots} concurrent streams, {chunk_seconds:.1f}s chunks, "
-                  f"int8 KV, {max_new} tok/chunk)",
+                  f"int8 cross-KV, {max_new} tok/chunk)",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 30.0, 2),

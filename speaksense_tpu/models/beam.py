@@ -2,15 +2,24 @@
 SamplingStrategy and the BASELINE config 4 target; whisper.cpp's beam decoder
 is configured at /root/reference/src/asr/whisper.rs:132 via best_of/beam).
 
-TPU-first design:
-- one jitted `lax.while_loop` decodes ALL batch rows x beams together;
-- cross-attention K/V is stored once per batch row, (L, B, H, A, Dh), and
-  beams index it via einsum — NOT replicated per beam (for large-v3 a
-  replicated cross-KV at B=8, K=5 would be ~10 GB);
-- self-attention KV lives as (L, B*K, H, T, Dh) and is physically reordered
-  by parent-beam gather each step (decode lengths are short, so the gather
-  traffic is bounded; a pointer-chased paged variant is the planned
-  optimization);
+TPU-first design (2026-08-16 rework — no physical KV movement at all):
+- one jitted chunked `lax.while_loop` decodes ALL batch rows x beams together;
+- cross-attention K/V is stored once per batch row and beams index it via
+  einsum — NOT replicated per beam (for large-v3 at B=8, K=5 a replicated
+  cross-KV would be ~10 GB);
+- self-attention KV is NEVER reordered: each beam row always writes its own
+  column (uniform fill layout), and an ANCESTOR TABLE anc (B, K, T) records
+  which row produced the KV each hypothesis needs at each column. Attention
+  computes logits against ALL K rows of the batch entry (the extra K'
+  factor is ~1 GFLOP — free on the MXU) and contracts with one-hot(anc),
+  replacing the previous per-step physical gather of the whole
+  (L, B*K, H, Dh, T) cache (~3.4 GB/step of HBM traffic at B=8, K=5).
+  The prompt region needs no ancestry: prefill replicates rows K-fold, so
+  every row holds identical prompt KV and any ancestor is correct.
+- writes are RING-buffered like greedy decode (whisper.init_ring): ANY
+  direct per-step write to the big cache costs a whole-cache copy
+  (PERF.md); the ring bounds it to W columns and the flush amortizes the
+  big copy W-fold. The ancestor table has a matching ring (anc_ring).
 - finished hypotheses are frozen: their only continuation is EOT at zero
   added logprob, so the joint top-k stays well-defined under jit.
 
@@ -30,27 +39,55 @@ Params = dict
 
 
 def _beam_block_factory(dims: W.WhisperDims, B: int, K: int):
-    """Decoder block for (B*K, 1, d) steps with beam-shared cross KV.
+    """Decoder block for (B*K, 1, d) steps with beam-shared cross KV and
+    ancestor-indirected self attention.
 
-    Self-KV writes are DEFERRED (joint-column attention, k/v emitted as scan
-    outputs and written batched after the scan) — the per-layer vmap-DUS
-    would serialize over B*K rows (see PERF.md decode-step ablation)."""
+    Carried masks/selectors (computed once per step, shared by all layers):
+      oh_cache (B, K, K', T) f32 — one-hot(anc) x cache-validity
+      oh_ring  (B, K, K', Wr) f32 — one-hot(anc_ring) x ring-validity
+    Self-KV xs: sk/sv (B, K', H, Dh, T) views; rk/rv (B, K', H, Wr, Dh)."""
     n_head = dims.n_text_head
 
     def block(carry, xs):
-        x, pos, mask = carry  # x (BK, 1, d); pos (BK,); mask (BK,1,1,T)
-        bp, sk, sv, ck, cv = xs  # sk/sv (BK,H,Dh,T); ck/cv (B,H,Dh,A)
+        x, pos, oh_cache, oh_ring = carry  # x (BK, 1, d); pos (BK,)
+        bp, sk, sv, rk, rv, ck, cv = xs
         h = W._ln(x, bp["attn_ln"])
-        q, k_new, v_new = W._qkv_proj(h, bp, n_head)
-        attn = W._joint_decode_attention(q, sk.astype(q.dtype), sv.astype(q.dtype),
-                                         k_new, v_new, mask)
+        q, k_new, v_new = W._qkv_proj(h, bp, n_head)  # (BK, H, 1, Dh)
+        qb = q[:, :, 0, :].reshape(B, K, n_head, -1)   # (B, K, H, Dh)
+        scale = q.shape[-1] ** -0.5
+
+        # self-attention: logits vs ALL K' rows, then one-hot ancestor select
+        lc_all = jnp.einsum("bkhd,bKhdt->bkKht", qb, sk.astype(qb.dtype),
+                            preferred_element_type=jnp.float32) * scale
+        lc = jnp.einsum("bkKht,bkKt->bkht", lc_all, oh_cache)
+        lc = jnp.where(jnp.sum(oh_cache, axis=2)[:, :, None, :] > 0, lc, NEG_INF)
+        lr_all = jnp.einsum("bkhd,bKhwd->bkKhw", qb, rk.astype(qb.dtype),
+                            preferred_element_type=jnp.float32) * scale
+        lr = jnp.einsum("bkKhw,bkKw->bkhw", lr_all, oh_ring)
+        lr = jnp.where(jnp.sum(oh_ring, axis=2)[:, :, None, :] > 0, lr, NEG_INF)
+        knb = k_new[:, :, 0, :].reshape(B, K, n_head, -1)
+        ls = jnp.sum(qb.astype(jnp.float32) * knb.astype(jnp.float32),
+                     axis=-1, keepdims=True) * scale  # (B, K, H, 1)
+        T = sk.shape[-1]
+        Wr = rk.shape[-2]
+        joint = jax.nn.softmax(jnp.concatenate([lc, lr, ls], axis=-1), axis=-1)
+        wc, wr_, ws = joint[..., :T], joint[..., T:T + Wr], joint[..., T + Wr:]
+        # value contraction with the same one-hot selectors
+        wc_sel = (wc[:, :, None, :, :] * oh_cache[:, :, :, None, :]).astype(qb.dtype)
+        out = jnp.einsum("bkKht,bKhdt->bkhd", wc_sel, sv.astype(qb.dtype),
+                         preferred_element_type=jnp.float32)
+        wr_sel = (wr_[:, :, None, :, :] * oh_ring[:, :, :, None, :]).astype(qb.dtype)
+        out = out + jnp.einsum("bkKhw,bKhwd->bkhd", wr_sel, rv.astype(qb.dtype),
+                               preferred_element_type=jnp.float32)
+        vnb = v_new[:, :, 0, :].reshape(B, K, n_head, -1)
+        out = out + ws * vnb.astype(jnp.float32)
+        attn = out.astype(qb.dtype).reshape(B * K, n_head, 1, -1)
         x = x + W._linear(W._merge_heads(attn), bp["o"])
+
         # cross-attention: beams share their batch row's encoder KV
         h = W._ln(x, bp["cross_ln"])
         cq = W._split_heads(W._linear(h, bp["cq"]), n_head)  # (BK, H, 1, Dh)
         cqb = cq.reshape(B, K, n_head, cq.shape[-1])          # (B, K, H, Dh)
-        scale = cq.shape[-1] ** -0.5
-        # cross KV is time-minor: (B, H, Dh, A)
         logits = jnp.einsum("bkhd,bhda->bkha", cqb, ck.astype(cqb.dtype),
                             preferred_element_type=jnp.float32) * scale
         weights = jax.nn.softmax(logits, axis=-1).astype(cqb.dtype)
@@ -60,8 +97,9 @@ def _beam_block_factory(dims: W.WhisperDims, B: int, K: int):
         x = x + W._linear(W._merge_heads(ctx), bp["co"])
         h = W._ln(x, bp["mlp_ln"])
         x = x + W._linear(jax.nn.gelu(W._linear(h, bp["fc1"]), approximate=False), bp["fc2"])
-        return (x, pos, mask), (jnp.swapaxes(k_new, -1, -2).astype(sk.dtype),
-                                jnp.swapaxes(v_new, -1, -2).astype(sv.dtype))
+        # ring rows (BK, H, 1, Dh) — row-major, no transpose
+        return (x, pos, oh_cache, oh_ring), (k_new.astype(rk.dtype),
+                                             v_new.astype(rv.dtype))
 
     return block
 
@@ -69,7 +107,7 @@ def _beam_block_factory(dims: W.WhisperDims, B: int, K: int):
 def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
                 suppress_mask: jax.Array, enc_out: jax.Array, prompt: jax.Array,
                 beam_size: int = 5, prompt_len: jax.Array | None = None,
-                sot_index: int | jax.Array = 0):
+                sot_index: int | jax.Array = 0, ring_width: int = 16):
     """Beam-search one batch of windows.
 
     enc_out: (B, A, d) encoder states; prompt: (B, P) int32. Variable-length
@@ -83,16 +121,18 @@ def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
     K = beam_size
     P = prompt.shape[1]
     L = cfg.max_new_tokens
+    Wr = ring_width
+    while L % Wr:
+        Wr //= 2
     dtype = params["decoder"]["tok_emb"].dtype
+    n_head = dims.n_text_head
 
-    # prompt prefill at beam granularity: replicate rows K-fold.
-    # Cap the self-KV time axis at the actual token budget (prompt + max_new,
-    # 128-lane aligned): every step physically reorders self-KV by parent
-    # beam (the take() below), so the gather traffic scales with T — a 30 s
-    # window never decodes n_text_ctx=448 positions here.
+    # prompt prefill at beam granularity: replicate rows K-fold. Self-KV time
+    # axis capped at the actual token budget (gather-free now, but the
+    # attention still reads the full static axis every step).
     t_cap = min(dims.n_text_ctx, -(-(P + L) // 128) * 128)
     cache = W.init_cache(dims, B * K, A, dtype=dtype, t_text=t_cap)
-    ck, cv = W.compute_cross_kv(params, dims, enc_out, dtype=dtype)  # (L,B,H,A,Dh)
+    ck, cv = W.compute_cross_kv(params, dims, enc_out, dtype=dtype)  # (L,B,H,Dh,A)
     rep = lambda x: jnp.repeat(x, K, axis=1)
     cache_rep = {**cache, "cross_k": rep(ck), "cross_v": rep(cv)}
     prompt_rep = jnp.repeat(prompt, K, axis=0)
@@ -107,42 +147,78 @@ def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
     first_logits = prefill_logits[jnp.arange(B * K), last_idx]
 
     block = _beam_block_factory(dims, B, K)
+    T = t_cap
 
-    def run_blocks(tok, cache, fill):
-        """One decode step for all B*K rows. UNIFORM-FILL layout: generated
-        KV packs at [P, P + fill) — `fill` is the (scalar) step counter, the
-        same for every beam — so the deferred self-KV write is ONE batchwide
-        DUS at a scalar offset (the per-row DUS loop serializes over B*K
-        rows, PERF.md). The padded prompt gap [prompt_len, P) stays masked."""
+    def run_blocks(tok, cache, ring, anc_cache, anc_ring, fill):
+        """One decode step for all B*K rows, ancestor-indirected, ring-
+        buffered. fill = archived generated columns; ring["n"] = in-ring."""
         pos = cache["pos"]
+        n = ring["n"]
         x = (params["decoder"]["tok_emb"][tok][:, None, :]
              + params["decoder"]["pos"][pos][:, None, :].astype(dtype))
-        t_idx = jnp.arange(cache["self_k"].shape[-1])[None, None, None, :]
-        mask = ((t_idx < (pos - fill)[:, None, None, None])
-                | ((t_idx >= P) & (t_idx < P + fill)))
-        (x, _, _), (k_new, v_new) = jax.lax.scan(
-            block, (x, pos, mask),
-            (params["decoder"]["blocks"], cache["self_k"], cache["self_v"], ck, cv))
+        # per-step selectors, shared across layers. Cache validity:
+        # own prompt [0, prompt_len_b) + archived generations [P, P+fill).
+        prompt_len_vec = (pos - fill - n).reshape(B, K)
+        t_idx = jnp.arange(T)
+        valid_c = ((t_idx[None, None, :] < prompt_len_vec[:, :, None])
+                   | ((t_idx[None, None, :] >= P)
+                      & (t_idx[None, None, :] < P + fill)))   # (B, K, T)
+        oh_c = (anc_cache[:, :, None, :] == jnp.arange(K)[None, None, :, None])
+        oh_cache = (oh_c & valid_c[:, :, None, :]).astype(jnp.float32)
+        valid_r = jnp.arange(Wr)[None, None, :] < n              # (1, 1, Wr)
+        oh_r = (anc_ring[:, :, None, :] == jnp.arange(K)[None, None, :, None])
+        oh_ring = (oh_r & valid_r[:, :, None, :]).astype(jnp.float32)
 
-        # one batched cross-layer KV write (k_new/v_new: (L, BK, H, Dh, 1))
+        skv = cache["self_k"].reshape(cache["self_k"].shape[0], B, K,
+                                      n_head, -1, T)
+        svv = cache["self_v"].reshape(*skv.shape)
+        rkv = ring["k"].reshape(ring["k"].shape[0], B, K, n_head, Wr, -1)
+        rvv = ring["v"].reshape(*rkv.shape)
+        (x, _, _, _), (k_new, v_new) = jax.lax.scan(
+            block, (x, pos, oh_cache, oh_ring),
+            (params["decoder"]["blocks"], skv, svv, rkv, rvv, ck, cv))
+        # ring write at the uniform row n (k_new: (L, BK, H, 1, Dh))
+        z = jnp.zeros((), jnp.int32)
+        ring = {"k": jax.lax.dynamic_update_slice(ring["k"], k_new, (z, z, z, n, z)),
+                "v": jax.lax.dynamic_update_slice(ring["v"], v_new, (z, z, z, n, z)),
+                "n": n + 1}
+        cache = {**cache, "pos": pos + 1}
+        return W._decoder_tail(params, x)[:, 0, :], cache, ring
+
+    def flush(cache, ring, anc_cache, anc_ring, fill):
+        """Fold the ring into the big cache at the uniform offset P + fill
+        (every row writes its own column — ancestry lives in anc_cache)."""
         z = jnp.zeros((), jnp.int32)
         at = P + fill
+        rk = jnp.swapaxes(ring["k"], -1, -2).astype(cache["self_k"].dtype)
+        rv = jnp.swapaxes(ring["v"], -1, -2).astype(cache["self_v"].dtype)
         cache = {**cache,
                  "self_k": jax.lax.dynamic_update_slice(
-                     cache["self_k"], k_new, (z, z, z, z, at)),
+                     cache["self_k"], rk, (z, z, z, z, at)),
                  "self_v": jax.lax.dynamic_update_slice(
-                     cache["self_v"], v_new, (z, z, z, z, at)),
-                 "pos": pos + 1}
-        return W._decoder_tail(params, x)[:, 0, :], cache
+                     cache["self_v"], rv, (z, z, z, z, at))}
+        anc_cache = jax.lax.dynamic_update_slice(
+            anc_cache, anc_ring, (z, z, at))
+        ring = {**ring, "n": jnp.zeros((), jnp.int32)}
+        return cache, ring, anc_cache, fill + Wr
 
     # drop replicated cross KV from the live cache (beam blocks use ck/cv)
     live_cache = {k: v for k, v in cache_rep.items() if not k.startswith("cross_")}
 
     init_scores = jnp.tile(jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF)[None, :], (B, 1))
+    own = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, T))
+    Ldec = dims.n_text_layer
+    H, Dh = n_head, dims.n_text_state // n_head
     state = dict(
         step=jnp.array(0, jnp.int32),
+        fill=jnp.array(0, jnp.int32),
         logits=first_logits,                     # (BK, V)
         cache=live_cache,
+        ring={"k": jnp.zeros((Ldec, B * K, H, Wr, Dh), dtype),
+              "v": jnp.zeros((Ldec, B * K, H, Wr, Dh), dtype),
+              "n": jnp.zeros((), jnp.int32)},
+        anc_cache=own,                           # (B, K, T) int32
+        anc_ring=own[:, :, :Wr],                 # (B, K, Wr)
         tokens=jnp.full((B, K, L), cfg.eot, jnp.int32),
         scores=init_scores,                      # (B, K) cumulative logprob
         n_sampled=jnp.zeros((B, K), jnp.int32),
@@ -174,7 +250,8 @@ def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
         gather_bk = lambda x: jnp.take_along_axis(x, parent, axis=1)
         tokens = jnp.take_along_axis(s["tokens"], parent[:, :, None], axis=1)
         step = s["step"]
-        tokens = jax.vmap(lambda t, tk: t.at[:, step].set(tk))(tokens, tok)
+        sel = jnp.arange(L)[None, None, :] == step
+        tokens = jnp.where(sel, tok[:, :, None], tokens)
 
         was_finished = gather_bk(s["finished"])
         newly = ~was_finished & (tok == cfg.eot)
@@ -188,21 +265,36 @@ def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
         last_ts = jnp.where(upd & is_ts, tok, gather_bk(s["last_ts"]))
         finished = was_finished | newly
 
-        # reorder self-KV by parent beam (global row index b*K + parent)
-        rows = (jnp.arange(B)[:, None] * K + parent).reshape(-1)  # (BK,)
-        cache = s["cache"]
-        cache = {
-            "self_k": jnp.take(cache["self_k"], rows, axis=1),
-            "self_v": jnp.take(cache["self_v"], rows, axis=1),
-            "pos": jnp.take(cache["pos"], rows, axis=0),
-        }
-        logits, cache = run_blocks(tok.reshape(-1), cache, s["step"])
+        # ancestor bookkeeping REPLACES the physical KV reorder: the history
+        # a child hypothesis needs is its parent's ancestry (tiny gathers)
+        anc_cache = jnp.take_along_axis(s["anc_cache"], parent[:, :, None], axis=1)
+        anc_ring = jnp.take_along_axis(s["anc_ring"], parent[:, :, None], axis=1)
+        n = s["ring"]["n"]
+        wsel = jnp.arange(Wr)[None, None, :] == n
+        anc_ring = jnp.where(wsel, jnp.arange(K, dtype=jnp.int32)[None, :, None],
+                             anc_ring)
+        # positions follow the parent chain (variable prompt lengths)
+        pos = jnp.take_along_axis(
+            s["cache"]["pos"].reshape(B, K), parent, axis=1).reshape(-1)
+        cache = {**s["cache"], "pos": pos}
 
-        return dict(step=step + 1, logits=logits, cache=cache, tokens=tokens,
-                    scores=top_scores, n_sampled=n_sampled, last=last,
-                    penult=penult, last_ts=last_ts, finished=finished)
+        logits, cache, ring = run_blocks(tok.reshape(-1), cache, s["ring"],
+                                         anc_cache, anc_ring, s["fill"])
 
-    out = jax.lax.while_loop(cond, body, state)
+        return dict(step=step + 1, fill=s["fill"], logits=logits, cache=cache,
+                    ring=ring, anc_cache=anc_cache, anc_ring=anc_ring,
+                    tokens=tokens, scores=top_scores, n_sampled=n_sampled,
+                    last=last, penult=penult, last_ts=last_ts, finished=finished)
+
+    def chunk_body(s):
+        s, _ = jax.lax.scan(lambda c, _: (body(c), ()), s, None, length=Wr)
+        cache, ring, anc_cache, fill = flush(s["cache"], s["ring"],
+                                             s["anc_cache"], s["anc_ring"],
+                                             s["fill"])
+        return {**s, "cache": cache, "ring": ring, "anc_cache": anc_cache,
+                "fill": fill}
+
+    out = jax.lax.while_loop(cond, chunk_body, state)
 
     # pick best hypothesis: avg logprob over (length + 1)
     denom = (out["n_sampled"] + 1).astype(jnp.float32)

@@ -62,7 +62,19 @@ class SlotPool:
     """Device-resident decode state for S slots + host-side occupancy."""
 
     def __init__(self, engine, n_slots: int, t_mel: int, max_new: int,
-                 with_timestamps: bool = True, int8_kv: bool = False):
+                 with_timestamps: bool = True, int8_kv: bool = False,
+                 self_int8: bool = False, ring_width: int = 16):
+        """int8_kv: int8 CROSS-attention KV pages (read-only after admission
+        — pure byte saving). self_int8: int8 SELF-KV pages too; this forces
+        the legacy per-slot write path (the ring stores bf16 rows), so it is
+        a memory-headroom option, not a speed one (measured speed-neutral).
+
+        Default (bf16 self-KV) uses RING-buffered writes: per-step KV lands
+        in a small ring at a row index shared by every slot (the global step
+        counter — slots decode in lockstep even though their fills differ),
+        and one per-slot flush per dispatch folds it into the pages. The
+        per-step per-slot DUS loop this replaces measured ~25 of 31 ms/step
+        at S=64 large-v3 (PERF.md)."""
         self.engine = engine
         self.dims = engine.dims
         self.S = n_slots
@@ -70,24 +82,29 @@ class SlotPool:
         self.n_audio_ctx = min(t_mel // 2, self.dims.n_audio_ctx)
         self.max_new = max_new
         self.int8_kv = int8_kv
+        self.self_int8 = self_int8
+        self.ring_width = ring_width
         self.cfg = D.RuleConfig.from_tokenizer(
             engine.tokenizer, with_timestamps=with_timestamps,
             max_initial_ts=engine.config.max_initial_ts, max_new_tokens=max_new)
         self.suppress = engine._suppress[(False, False)]
         dtype = engine.dtype
         S, dims = self.S, self.dims
-        # int8_kv: both KV pools int8 (cross per-channel, self per-token
-        # write-time scales) — halves pool HBM so 64 large-v3 slots fit one
-        # 16 GB chip (bf16 cross alone is ~252 MB/slot at A=1536).
         # t_text: decode positions sized to the generation budget (prompt +
         # max_new), lane-aligned — a 96-token streaming pool reads 3.5x less
-        # self-KV per step than the full 448-position cache
-        t_text = min(dims.n_text_ctx, ((32 + max_new + 127) // 128) * 128)
+        # self-KV per step than the full 448-position cache. Prompt allowance
+        # is 16 (pool prompts are 3-4-token SOT sequences; admit_many
+        # asserts) and the ring flush needs W-1 columns of slack so its
+        # fixed-W window never clamps into an ACTIVE slot's live columns
+        # (a clamped write can only hit slots already frozen at the cap).
+        self.max_prompt = 16
+        t_text = min(dims.n_text_ctx,
+                     ((self.max_prompt + max_new + ring_width - 1 + 127) // 128) * 128)
         # S+1 rows: row S is a SCRATCH slot — batched admissions pad their
         # slot-index vector with S, so dummy rows scatter harmlessly into it
         # (its active flag is always forced False)
         cache = W.init_cache(dims, S + 1, self.n_audio_ctx, dtype=dtype,
-                             self_kv_int8=int8_kv, t_text=t_text)
+                             self_kv_int8=self_int8, t_text=t_text)
         if int8_kv:
             L, H = dims.n_text_layer, dims.n_text_head
             Dh = dims.n_text_state // dims.n_text_head
@@ -106,6 +123,15 @@ class SlotPool:
             active=jnp.zeros((S + 1,), bool),
             sum_lp=jnp.zeros((S + 1,), jnp.float32),
         )
+        if not self_int8:
+            # chunk-local KV ring (row-major, see whisper.init_ring): per-step
+            # writes land here at a slot-UNIFORM row; flushed per dispatch
+            L, H = dims.n_text_layer, dims.n_text_head
+            Dh = dims.n_text_state // dims.n_text_head
+            self.state.update(
+                ring_k=jnp.zeros((L, S + 1, H, ring_width, Dh), dtype),
+                ring_v=jnp.zeros((L, S + 1, H, ring_width, Dh), dtype),
+                ring_n=jnp.zeros((), jnp.int32))
         self.free: list[int] = list(range(S))
         self.jobs: dict[int, _StreamJob] = {}
         self._admit_fns: dict[tuple[int, int], object] = {}
@@ -128,7 +154,7 @@ class SlotPool:
             # mel (n, t_mel, n_mels); slots/plen/valid (n,); prompts (n, P)
             enc = W.encode(params, dims, mel, n_ctx_out=self.n_audio_ctx)
             cache1 = W.init_cache(dims, n, enc.shape[1], dtype=self.engine.dtype,
-                                  self_kv_int8=self.int8_kv,
+                                  self_kv_int8=self.self_int8,
                                   t_text=self.state["self_k"].shape[-1])
             ck, cv = W.compute_cross_kv(params, dims, enc, dtype=self.engine.dtype)
             if self.int8_kv:
@@ -162,6 +188,10 @@ class SlotPool:
 
     def _build_step(self, k: int = 1):
         dims, cfg = self.dims, self.cfg
+        ring_mode = not self.self_int8
+        W_ring = self.ring_width
+        assert not ring_mode or k <= W_ring, (
+            f"steps_per_dispatch {k} overflows the {W_ring}-row KV ring")
 
         def step(params, suppress, state):
             filtered = D.apply_logit_rules(
@@ -175,19 +205,42 @@ class SlotPool:
             still = state["active"] & ~newly_done
 
             write_col = jnp.minimum(state["n_sampled"], self.max_new - 1)
-            tokens = jax.vmap(lambda row, c, t: row.at[c].set(t))(
-                state["tokens"], write_col, tok)
-            tokens = jnp.where(state["active"][:, None], tokens, state["tokens"])
+            # select-form write: a per-slot vmap-DUS lowers to a serial
+            # S-iteration loop; rewriting this tiny (S, max_new) tensor is free
+            sel = (jnp.arange(self.max_new)[None, :] == write_col[:, None])
+            tokens = jnp.where(sel & state["active"][:, None],
+                               tok[:, None], state["tokens"])
 
             cache = {k: state[k] for k in _KV_KEYS + ("pos",) if k in state}
-            logits, cache = W.decode_step(params, dims, tok, cache)
+            if ring_mode:
+                # ring-buffered step: every slot writes ring row ring_n (the
+                # global in-chunk step counter — uniform even though slot
+                # FILLS differ); the per-slot flush runs once per dispatch.
+                # fill=0 / gen_base=0 turn decode_step_ring's fill-layout
+                # mask into the pool's contiguous one: cached-valid t < pos-n
+                cache = {**cache, "fill": jnp.zeros((), jnp.int32),
+                         "gen_base": jnp.zeros((), jnp.int32)}
+                ring = {"k": state["ring_k"], "v": state["ring_v"],
+                        "n": state["ring_n"]}
+                logits, cache, ring = W.decode_step_ring(params, dims, tok,
+                                                         cache, ring)
+                cache.pop("fill"), cache.pop("gen_base")
+                cache.update(ring_k=ring["k"], ring_v=ring["v"], ring_n=ring["n"])
+            else:
+                logits, cache = W.decode_step(params, dims, tok, cache)
 
             is_ts = tok >= cfg.ts_begin
             hit_cap = still & (state["n_sampled"] + 1 >= self.max_new)
             new = dict(state)
             new.update(cache)
-            # don't advance pos for inactive slots (keeps their pages frozen)
-            new["pos"] = jnp.where(state["active"], cache["pos"], state["pos"])
+            if not ring_mode:
+                # don't advance pos for inactive slots (keeps their pages
+                # frozen). Ring mode advances EVERYONE: the chunk flush
+                # derives each slot's archive offset as pos - ring_n, which
+                # requires uniform advancement; inactive slots accumulate
+                # masked garbage in soon-to-be-recycled pages (admission
+                # resets pos and overwrites).
+                new["pos"] = jnp.where(state["active"], cache["pos"], state["pos"])
             new["last_logits"] = logits
             new["tokens"] = tokens
             new["n_sampled"] = state["n_sampled"] + still.astype(jnp.int32)
@@ -199,8 +252,34 @@ class SlotPool:
             finished_now = newly_done | hit_cap
             return new, finished_now
 
+        def flush(state):
+            """Fold the ring into the per-slot KV pages: each slot's archive
+            offset is pos - ring_n (all slots advanced ring_n steps this
+            chunk). The per-slot DUS loop this costs runs ONCE per dispatch
+            instead of every step. The fixed-W window may clamp at the time
+            cap only for slots already frozen there (see t_text comment)."""
+            n = state["ring_n"]
+            off = state["pos"] - n
+
+            def upd(c, r, p):  # c (L,H,Dh,T) <- r (L,H,W,Dh) at column p
+                return jax.lax.dynamic_update_slice(
+                    c, jnp.swapaxes(r, -1, -2).astype(c.dtype), (0, 0, 0, p))
+
+            wr = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
+            return {**state,
+                    "self_k": wr(state["self_k"], state["ring_k"], off),
+                    "self_v": wr(state["self_v"], state["ring_v"], off),
+                    "ring_n": jnp.zeros((), jnp.int32)}
+
         if k == 1:
-            return jax.jit(step, donate_argnums=(2,))
+            if not ring_mode:
+                return jax.jit(step, donate_argnums=(2,))
+
+            def step1(params, suppress, state):
+                state, fin = step(params, suppress, state)
+                return flush(state), fin
+
+            return jax.jit(step1, donate_argnums=(2,))
 
         # k decode steps in ONE dispatch: buffer donation does not alias on
         # the remote backend (PERF.md), so every jit call copies the whole
@@ -213,6 +292,8 @@ class SlotPool:
                 return s2, ()
 
             state, _ = jax.lax.scan(body, state, None, length=k)
+            if ring_mode:
+                state = flush(state)
             return state, None
 
         return jax.jit(step_k, donate_argnums=(2,))
@@ -232,6 +313,9 @@ class SlotPool:
         bucket = next(b for b in self.ADMIT_BUCKETS if b >= take)
         batch = jobs[:take]
         P = max(len(j.prompt) for j in batch)
+        assert P <= self.max_prompt, (
+            f"pool prompts are SOT sequences (<= {self.max_prompt} tokens); "
+            f"got {P} — the t_text budget and ring-flush slack assume this")
 
         slots = np.full((bucket,), self.S, np.int32)       # padding -> scratch
         valid = np.zeros((bucket,), bool)
@@ -314,9 +398,11 @@ class StreamingDecodeServer:
 
     def __init__(self, engine, n_slots: int = 16, t_mel: int = 3000,
                  max_new: int = 128, int8_kv: bool = False,
-                 poll_interval: int = 1, steps_per_dispatch: int = 4):
+                 poll_interval: int = 1, steps_per_dispatch: int = 16,
+                 self_int8: bool = False):
         self.engine = engine
-        self.pool = SlotPool(engine, n_slots, t_mel, max_new, int8_kv=int8_kv)
+        self.pool = SlotPool(engine, n_slots, t_mel, max_new, int8_kv=int8_kv,
+                             self_int8=self_int8)
         # retire finished slots every N dispatches: each retirement check is
         # a device->host fetch, i.e. a full round trip on remote backends
         self.poll_interval = max(1, poll_interval)

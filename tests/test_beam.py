@@ -118,3 +118,38 @@ def test_beam_conditioned_context_changes_output(setup):
         if n[b] > 0:
             assert tokens[b, 0] >= TOK.ts_begin
     assert np.isfinite(np.asarray(out["avg_logprob"])).all()
+
+
+def test_beam_score_matches_teacher_forced(setup):
+    """Ancestry validation: the winning hypothesis's sum_logprob must equal
+    the rule-filtered logprob of its sequence under TEACHER-FORCED decoding
+    (fresh cache, no beam machinery). If the ancestor-indirected attention
+    ever selected the wrong parent's KV mid-search, the in-loop logits — and
+    hence the score — would diverge from this reference."""
+    params, enc, prompt, _ = setup
+    out = beam_decode(params, DIMS, CFG, SUPPRESS, enc, prompt, beam_size=3)
+    tokens = np.asarray(out["tokens"])
+    n = np.asarray(out["n_sampled"])
+    sum_lp = np.asarray(out["sum_logprob"])
+    P = prompt.shape[1]
+
+    for b in range(2):
+        seq = list(np.asarray(prompt)[b]) + list(tokens[b, : n[b]]) + [CFG.eot]
+        full = jnp.asarray(np.asarray(seq, np.int32)[None])
+        logits = np.asarray(W.decode_logits(params, DIMS, full, enc[b : b + 1]))
+        # replay the rule state machine over the sampled tokens
+        ns, last, penult, last_ts = 0, 0, 0, 0
+        total = 0.0
+        for i, tok in enumerate(seq[P:]):
+            lg = jnp.asarray(logits[:, P - 1 + i])
+            filt = D.apply_logit_rules(
+                lg, CFG, SUPPRESS, jnp.asarray([ns]), jnp.asarray([last]),
+                jnp.asarray([penult]), jnp.asarray([last_ts]))
+            lp = np.asarray(jax.nn.log_softmax(filt, axis=-1))[0, tok]
+            total += lp
+            if tok != CFG.eot:
+                penult, last = last, tok
+                if tok >= CFG.ts_begin:
+                    last_ts = tok
+                ns += 1
+        np.testing.assert_allclose(total, sum_lp[b], rtol=2e-4, atol=2e-3)

@@ -91,15 +91,19 @@ def test_stream_chunks_via_slot_pool(engine, rng):
 
 
 def test_pool_int8_kv_matches_fp(engine, rng):
-    """int8 pools (cross per-channel + self per-token) produce rule-compliant
-    output and agree with the fp pool on the first sampled tokens."""
+    """int8 pools (cross per-channel; self per-token via self_int8, which
+    takes the legacy per-slot write path) produce rule-compliant output and
+    agree with the fp (ring-mode) pool on the first sampled tokens."""
     fp = StreamingDecodeServer(engine, n_slots=2, max_new=12)
-    q8 = StreamingDecodeServer(engine, n_slots=2, max_new=12, int8_kv=True)
+    q8 = StreamingDecodeServer(engine, n_slots=2, max_new=12, int8_kv=True,
+                               self_int8=True)
     try:
         import jax.numpy as jnp
 
         assert q8.pool.state["cross_k"].dtype == jnp.int8
         assert q8.pool.state["self_k"].dtype == jnp.int8
+        assert "ring_k" not in q8.pool.state       # legacy write path
+        assert "ring_k" in fp.pool.state           # ring write path
         mel = _mel(engine, rng, 0.1)
         r_fp = fp.submit(mel).result(timeout=300)
         r_q8 = q8.submit(mel).result(timeout=300)
@@ -111,3 +115,20 @@ def test_pool_int8_kv_matches_fp(engine, rng):
     finally:
         fp.stop()
         q8.stop()
+
+
+def test_pool_dispatch_width_invariance(engine, rng):
+    """Ring flush boundaries are invisible: k steps per dispatch (flush every
+    k) decodes the same tokens as stepping one at a time (flush every step)."""
+    s1 = StreamingDecodeServer(engine, n_slots=2, max_new=12, steps_per_dispatch=1)
+    s8 = StreamingDecodeServer(engine, n_slots=2, max_new=12, steps_per_dispatch=8)
+    try:
+        mel = _mel(engine, rng, 0.1)
+        r1 = s1.submit(mel).result(timeout=300)
+        r8 = s8.submit(mel).result(timeout=300)
+        assert r1["n_sampled"] == r8["n_sampled"]
+        n = r1["n_sampled"]
+        np.testing.assert_array_equal(r1["tokens"][:n], r8["tokens"][:n])
+    finally:
+        s1.stop()
+        s8.stop()

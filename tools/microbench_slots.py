@@ -48,8 +48,10 @@ def main(argv):
     tok = Tokenizer.synthetic(dims.n_vocab)
     engine = WhisperEngine(params, dims, tok,
                            config=EngineConfig(cross_kv_int8=True))
+    int8 = os.environ.get("SLOTS_INT8", "1") not in ("", "0", "false")
     pool = SlotPool(engine, n_slots=S, t_mel=t_mel, max_new=max_new,
-                    int8_kv=True)
+                    int8_kv=int8)
+    print(f"int8_kv={int8}", flush=True)
     rng = np.random.default_rng(0)
     mel = rng.standard_normal((t_mel, dims.n_mels)).astype(np.float32)
     prompt = tok.sot_sequence("en")
