@@ -923,15 +923,21 @@ def _joint_decode_attention_ring(q, k_cache, v_cache, mask_cache,
 
 
 def decode_step_ring(params: Params, dims: WhisperDims, token: jax.Array,
-                     cache: Params, ring: Params):
+                     cache: Params, ring: Params,
+                     mask_cache: jax.Array | None = None):
     """One autoregressive step with ring-buffered self-KV writes.
 
-    cache must be fill-layout (arm_uniform_fill) and is READ-ONLY here —
-    `fill` counts only ARCHIVED (flushed) columns. The current chunk's
-    generations live in `ring` (written at the scalar column ring["n"]).
-    Flush with flush_ring every W steps (see decode.decode_loop ring mode).
-    Self-KV must be bf16 (int8 self-KV is a slot-pool memory feature; the
-    window-batch path that uses rings never enables it)."""
+    cache is READ-ONLY here. By default it must be fill-layout
+    (arm_uniform_fill): `fill` counts ARCHIVED (flushed) columns and the
+    cache-validity mask is derived from fill/gen_base/pos. A caller with a
+    different column layout (the slot pool's CIRCULAR pages) passes its own
+    mask_cache (broadcastable to (B, H, 1, T); True = cached key valid) and
+    then fill/gen_base need not be present.
+
+    The current chunk's generations live in `ring` (written at the scalar
+    row ring["n"]). Flush every W steps (flush_ring, or the pool's circular
+    flush). Self-KV must be bf16 (int8 self-KV is a slot-pool memory
+    feature on the legacy write path)."""
     p = params["decoder"]
     pos = cache["pos"]
     dtype = p["tok_emb"].dtype
@@ -940,10 +946,12 @@ def decode_step_ring(params: Params, dims: WhisperDims, token: jax.Array,
     W = ring["k"].shape[-2]
     k_idx = jnp.arange(T)[None, None, None, :]
     w_idx = jnp.arange(W)[None, None, None, :]
-    fill, base, n = cache["fill"], cache["gen_base"], ring["n"]
-    prompt_len = pos - (fill + n)
-    mask_cache = ((k_idx < prompt_len[:, None, None, None])
-                  | ((k_idx >= base) & (k_idx < base + fill)))
+    n = ring["n"]
+    if mask_cache is None:
+        fill, base = cache["fill"], cache["gen_base"]
+        prompt_len = pos - (fill + n)
+        mask_cache = ((k_idx < prompt_len[:, None, None, None])
+                      | ((k_idx >= base) & (k_idx < base + fill)))
     mask_ring = w_idx < n
     n_head = dims.n_text_head
     cross_quant = "cross_k_scale" in cache

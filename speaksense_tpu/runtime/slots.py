@@ -94,12 +94,14 @@ class SlotPool:
         # max_new), lane-aligned — a 96-token streaming pool reads 3.5x less
         # self-KV per step than the full 448-position cache. Prompt allowance
         # is 16 (pool prompts are 3-4-token SOT sequences; admit_many
-        # asserts) and the ring flush needs W-1 columns of slack so its
-        # fixed-W window never clamps into an ACTIVE slot's live columns
-        # (a clamped write can only hit slots already frozen at the cap).
+        # asserts). Ring mode uses CIRCULAR pages — column = global step
+        # cursor mod T — which needs T >= max_prompt + max_new (a slot's
+        # live span) and T % ring_width == 0 (chunk flushes stay aligned,
+        # never wrapping mid-window).
         self.max_prompt = 16
         t_text = min(dims.n_text_ctx,
-                     ((self.max_prompt + max_new + ring_width - 1 + 127) // 128) * 128)
+                     ((self.max_prompt + max_new + 127) // 128) * 128)
+        assert t_text % ring_width == 0
         # S+1 rows: row S is a SCRATCH slot — batched admissions pad their
         # slot-index vector with S, so dummy rows scatter harmlessly into it
         # (its active flag is always forced False)
@@ -124,18 +126,35 @@ class SlotPool:
             sum_lp=jnp.zeros((S + 1,), jnp.float32),
         )
         if not self_int8:
-            # chunk-local KV ring (row-major, see whisper.init_ring): per-step
-            # writes land here at a slot-UNIFORM row; flushed per dispatch
+            # Ring mode with CIRCULAR self-KV pages. Per-step writes land in
+            # a chunk-local ring at a slot-UNIFORM row (the in-chunk step
+            # index); the flush is ONE uniform DUS at column gstep % T —
+            # every slot's s-th global step lives at the same column, and
+            # each slot's validity window is an AGE interval (see
+            # _build_step). This removes both per-step AND per-flush
+            # per-slot DUS loops (the flush loop alone measured ~53 ms at
+            # S=64, PERF.md).
+            #   gstep — global step cursor at chunk start (W-aligned)
+            #   cnt   — per-slot written-column extent (ppad + steps since
+            #           admission; advances by W at every flush, all slots)
+            #   plen/ppad — true and padded prompt lengths at admission
+            #           (the padding gap is masked out by age forever)
             L, H = dims.n_text_layer, dims.n_text_head
             Dh = dims.n_text_state // dims.n_text_head
             self.state.update(
                 ring_k=jnp.zeros((L, S + 1, H, ring_width, Dh), dtype),
                 ring_v=jnp.zeros((L, S + 1, H, ring_width, Dh), dtype),
-                ring_n=jnp.zeros((), jnp.int32))
+                ring_n=jnp.zeros((), jnp.int32),
+                gstep=jnp.zeros((), jnp.int32),
+                cnt=jnp.zeros((S + 1,), jnp.int32),
+                plen=jnp.ones((S + 1,), jnp.int32),
+                ppad=jnp.ones((S + 1,), jnp.int32))
         self.free: list[int] = list(range(S))
         self.jobs: dict[int, _StreamJob] = {}
+        self.ring_fill = 0   # host mirror of ring_n (deterministic)
+        self.gstep_host = 0  # host mirror of state["gstep"]
         self._admit_fns: dict[tuple[int, int], object] = {}
-        self._step_fns: dict[int, object] = {}
+        self._step_fns: dict[tuple[int, bool], object] = {}
 
     # ---------------------------------------------------------------- jitted
 
@@ -168,6 +187,22 @@ class SlotPool:
 
             rows = jnp.arange(n)
             new = dict(state)
+            if not self.self_int8:
+                # circular pages: the prompt block [0, P) must land at global
+                # columns [(gstep - P) % T, gstep) — virtually written at the
+                # P steps before the cursor (admissions only happen with the
+                # ring empty, so gstep is current)
+                T = cache1["self_k"].shape[-1]
+                shift = jnp.mod(state["gstep"] - prompts.shape[1], T)
+                cache1 = {**cache1,
+                          "self_k": jnp.roll(cache1["self_k"], shift, axis=-1),
+                          "self_v": jnp.roll(cache1["self_v"], shift, axis=-1)}
+                P_pad = jnp.int32(prompts.shape[1])
+                new["cnt"] = state["cnt"].at[slots].set(
+                    jnp.full((n,), P_pad, jnp.int32))
+                new["ppad"] = state["ppad"].at[slots].set(
+                    jnp.full((n,), P_pad, jnp.int32))
+                new["plen"] = state["plen"].at[slots].set(plen)
             for k in _KV_KEYS:
                 if k in cache1:
                     new[k] = state[k].at[:, slots].set(cache1[k])
@@ -186,7 +221,7 @@ class SlotPool:
 
         return jax.jit(admit, donate_argnums=(1,))
 
-    def _build_step(self, k: int = 1):
+    def _build_step(self, k: int = 1, do_flush: bool = False):
         dims, cfg = self.dims, self.cfg
         ring_mode = not self.self_int8
         W_ring = self.ring_width
@@ -213,18 +248,30 @@ class SlotPool:
 
             cache = {k: state[k] for k in _KV_KEYS + ("pos",) if k in state}
             if ring_mode:
-                # ring-buffered step: every slot writes ring row ring_n (the
-                # global in-chunk step counter — uniform even though slot
-                # FILLS differ); the per-slot flush runs once per dispatch.
-                # fill=0 / gen_base=0 turn decode_step_ring's fill-layout
-                # mask into the pool's contiguous one: cached-valid t < pos-n
-                cache = {**cache, "fill": jnp.zeros((), jnp.int32),
-                         "gen_base": jnp.zeros((), jnp.int32)}
+                # circular-page step: every slot writes ring row ring_n (the
+                # in-chunk step index — uniform even though slot fills
+                # differ). Cache validity is an AGE interval per slot:
+                # column t holds global step g' = g-1-((g-1-t) mod T), i.e.
+                # age a = g-g' in [1, T]; ages <= n live in the ring (the
+                # cache column there is T-steps stale), ages up to the
+                # slot's extent cnt+n are real, and the prompt-padding gap
+                # (the ppad-plen columns just below the true prompt) is
+                # excluded forever.
+                T = state["self_k"].shape[-1]
+                n = state["ring_n"]
+                g = state["gstep"] + n
+                age = jnp.mod(g - 1 - jnp.arange(T), T) + 1       # (T,)
+                ext = state["cnt"] + n                             # (S+1,)
+                pad_hi = ext - state["plen"]
+                pad_lo = ext - state["ppad"]
+                valid = ((age[None, :] > n) & (age[None, :] <= ext[:, None])
+                         & ~((age[None, :] > pad_lo[:, None])
+                             & (age[None, :] <= pad_hi[:, None])))
                 ring = {"k": state["ring_k"], "v": state["ring_v"],
-                        "n": state["ring_n"]}
-                logits, cache, ring = W.decode_step_ring(params, dims, tok,
-                                                         cache, ring)
-                cache.pop("fill"), cache.pop("gen_base")
+                        "n": n}
+                logits, cache, ring = W.decode_step_ring(
+                    params, dims, tok, cache, ring,
+                    mask_cache=valid[:, None, None, :])
                 cache.update(ring_k=ring["k"], ring_v=ring["v"], ring_n=ring["n"])
             else:
                 logits, cache = W.decode_step(params, dims, tok, cache)
@@ -253,22 +300,25 @@ class SlotPool:
             return new, finished_now
 
         def flush(state):
-            """Fold the ring into the per-slot KV pages: each slot's archive
-            offset is pos - ring_n (all slots advanced ring_n steps this
-            chunk). The per-slot DUS loop this costs runs ONCE per dispatch
-            instead of every step. The fixed-W window may clamp at the time
-            cap only for slots already frozen there (see t_text comment)."""
-            n = state["ring_n"]
-            off = state["pos"] - n
-
-            def upd(c, r, p):  # c (L,H,Dh,T) <- r (L,H,W,Dh) at column p
-                return jax.lax.dynamic_update_slice(
-                    c, jnp.swapaxes(r, -1, -2).astype(c.dtype), (0, 0, 0, p))
-
-            wr = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
+            """Fold the full W-row ring into the circular pages with ONE
+            batchwide DUS at column gstep % T — the cursor column is shared
+            by every slot (that is the point of the circular layout; the
+            per-slot-offset flush loop this replaces measured ~53 ms at
+            S=64, PERF.md). Called only when the ring is full (host-enforced:
+            dispatch widths divide W), so the window is W-aligned and never
+            wraps (T % W == 0). cnt advances by W for ALL slots — it is a
+            cursor extent, and inactive slots' pages just age out."""
+            z = jnp.zeros((), jnp.int32)
+            at = jnp.mod(state["gstep"], state["self_k"].shape[-1])
+            rk = jnp.swapaxes(state["ring_k"], -1, -2).astype(state["self_k"].dtype)
+            rv = jnp.swapaxes(state["ring_v"], -1, -2).astype(state["self_v"].dtype)
             return {**state,
-                    "self_k": wr(state["self_k"], state["ring_k"], off),
-                    "self_v": wr(state["self_v"], state["ring_v"], off),
+                    "self_k": jax.lax.dynamic_update_slice(
+                        state["self_k"], rk, (z, z, z, z, at)),
+                    "self_v": jax.lax.dynamic_update_slice(
+                        state["self_v"], rv, (z, z, z, z, at)),
+                    "gstep": state["gstep"] + W_ring,
+                    "cnt": state["cnt"] + W_ring,
                     "ring_n": jnp.zeros((), jnp.int32)}
 
         if k == 1:
@@ -277,7 +327,9 @@ class SlotPool:
 
             def step1(params, suppress, state):
                 state, fin = step(params, suppress, state)
-                return flush(state), fin
+                if do_flush:
+                    state = flush(state)
+                return state, fin
 
             return jax.jit(step1, donate_argnums=(2,))
 
@@ -292,7 +344,7 @@ class SlotPool:
                 return s2, ()
 
             state, _ = jax.lax.scan(body, state, None, length=k)
-            if ring_mode:
+            if ring_mode and do_flush:
                 state = flush(state)
             return state, None
 
@@ -307,6 +359,11 @@ class SlotPool:
     def admit_many(self, jobs: list[_StreamJob]) -> int:
         """Admit up to one bucket's worth of jobs in a single dispatch.
         Returns how many were admitted (0 if the pool is full)."""
+        if not self.self_int8 and self.ring_fill:
+            # circular pages: admission writes prompt columns just behind
+            # the cursor — pending ring rows would flush over them. The
+            # server drains the ring (keeps stepping) before admitting.
+            return 0
         take = min(len(jobs), len(self.free), max(self.ADMIT_BUCKETS))
         if take == 0:
             return 0
@@ -355,10 +412,21 @@ class SlotPool:
         remote-relay backend every fetch costs a round trip, which dominated
         the serving benchmark. The host loop retires every `poll_interval`
         dispatches instead (a finished slot just idles frozen briefly)."""
-        fn = self._step_fns.get(k)
+        ring_mode = not self.self_int8
+        do_flush = False
+        if ring_mode:
+            k = min(k, self.ring_width - self.ring_fill)
+            do_flush = self.ring_fill + k == self.ring_width
+        fn = self._step_fns.get((k, do_flush))
         if fn is None:
-            fn = self._step_fns[k] = self._build_step(k)
+            fn = self._step_fns[(k, do_flush)] = self._build_step(k, do_flush)
         self.state, _ = fn(self.engine.params, self.suppress, self.state)
+        if ring_mode:
+            if do_flush:
+                self.ring_fill = 0
+                self.gstep_host += self.ring_width  # mirrors state["gstep"]
+            else:
+                self.ring_fill += k
         if not retire:
             return []
         return self.retire_finished()
@@ -442,7 +510,11 @@ class StreamingDecodeServer:
                 if n == 0:
                     break
                 del pending[:n]
-            if self.pool.n_active:
+            # also step (even with zero active slots) when admissions are
+            # blocked on a dirty ring — the chunk must complete and flush
+            # before new prompts can land behind the cursor
+            must_drain = bool(pending) and self.pool.ring_fill > 0
+            if self.pool.n_active or must_drain:
                 try:
                     # retire on the poll cadence, when the pool is saturated
                     # and work is waiting, or when every slot may be done

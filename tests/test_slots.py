@@ -132,3 +132,25 @@ def test_pool_dispatch_width_invariance(engine, rng):
     finally:
         s1.stop()
         s8.stop()
+
+
+def test_pool_circular_wrap_isolation(engine, rng):
+    """The circular page cursor wraps after t_text (128) global steps; a
+    window submitted before and after several wraps must decode identically
+    (ages, pad-gap masks and the flush window all survive wrap-around)."""
+    server = StreamingDecodeServer(engine, n_slots=2, max_new=16)
+    try:
+        target = _mel(engine, rng, 0.1)
+        r_first = server.submit(target).result(timeout=300)
+        # push the global cursor through >2 wraps (t_text=128) with fillers
+        i = 0
+        while server.pool.gstep_host <= 300:
+            server.submit(_mel(engine, rng, 0.2 + 0.01 * i)).result(timeout=300)
+            i += 1
+            assert i < 60, "cursor not advancing"
+        r_late = server.submit(target).result(timeout=300)
+        assert r_first["n_sampled"] == r_late["n_sampled"]
+        n = r_first["n_sampled"]
+        np.testing.assert_array_equal(r_first["tokens"][:n], r_late["tokens"][:n])
+    finally:
+        server.stop()
