@@ -87,6 +87,57 @@ def bench_slots(model_name: str, decode_tokens: int):
     }))
 
 
+def bench_beam(model_name: str):
+    """BENCH_MODE=beam: beam_size=5 batched window decoding (the reference
+    configures whisper.cpp with beam/best_of 5, whisper.rs:132). Ancestor-
+    indirected, ring-buffered beam (models/beam.py) on B windows."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from speaksense_tpu.utils.jaxsetup import init_compilation_cache
+
+    init_compilation_cache()
+
+    from speaksense_tpu.models import whisper as W
+    from speaksense_tpu.models import decode as D
+    from speaksense_tpu.models.beam import transcribe_window_beam
+    from speaksense_tpu.models.tokenizer import Tokenizer
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    beam = int(os.environ.get("BENCH_BEAM", "5"))
+    max_new = int(os.environ.get("BENCH_DECODE_TOKENS", "224"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    dims = W.MODEL_DIMS[model_name]
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x.astype(ml_dtypes.bfloat16) if x.ndim >= 2 else x),
+        W.init_params_np(dims))
+    tok = Tokenizer.synthetic(dims.n_vocab)
+    cfg = D.RuleConfig.from_tokenizer(tok, max_new_tokens=max_new)
+    suppress = jnp.asarray(tok.suppress_mask())
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch, 3000, dims.n_mels)).astype(np.float32), jnp.bfloat16)
+    prompt = jnp.tile(jnp.asarray(tok.sot_sequence("en"), jnp.int32), (batch, 1))
+
+    fn = jax.jit(lambda p, m, pr: transcribe_window_beam(
+        p, dims, cfg, suppress, m, pr, beam_size=beam))
+    np.asarray(fn(params, mel, prompt)["tokens"])  # compile + warmup
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(fn(params, mel, prompt)["tokens"])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    rtf = batch * 30.0 / dt
+    print(json.dumps({
+        "metric": f"{model_name} beam-search transcription real-time factor "
+                  f"(B={batch}, beam={beam}, {max_new} max tokens/window)",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 30.0, 2),
+    }))
+
+
 def main():
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
     batch = int(os.environ.get("BENCH_BATCH", "32"))  # best measured config (PERF.md)
@@ -94,6 +145,8 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     if os.environ.get("BENCH_MODE", "") == "slots":
         return bench_slots(model_name, decode_tokens)
+    if os.environ.get("BENCH_MODE", "") == "beam":
+        return bench_beam(model_name)
 
     import jax
     import jax.numpy as jnp

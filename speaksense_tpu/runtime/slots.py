@@ -190,13 +190,24 @@ class SlotPool:
             if not self.self_int8:
                 # circular pages: the prompt block [0, P) must land at global
                 # columns [(gstep - P) % T, gstep) — virtually written at the
-                # P steps before the cursor (admissions only happen with the
-                # ring empty, so gstep is current)
+                # P steps before the cursor. This window never wraps: gstep
+                # is W-aligned (admissions only happen with the ring empty)
+                # and P <= max_prompt <= W, so shift + P <= T always — one
+                # plain DUS of the prompt slice places it (jnp.roll with a
+                # traced shift lowers to a slow gather).
                 T = cache1["self_k"].shape[-1]
-                shift = jnp.mod(state["gstep"] - prompts.shape[1], T)
+                P_len = prompts.shape[1]
+                shift = jnp.mod(state["gstep"] - P_len, T)
+
+                def place(page):
+                    z = jnp.zeros((), jnp.int32)
+                    return jax.lax.dynamic_update_slice(
+                        jnp.zeros_like(page), page[..., :P_len],
+                        (z, z, z, z, shift))
+
                 cache1 = {**cache1,
-                          "self_k": jnp.roll(cache1["self_k"], shift, axis=-1),
-                          "self_v": jnp.roll(cache1["self_v"], shift, axis=-1)}
+                          "self_k": place(cache1["self_k"]),
+                          "self_v": place(cache1["self_v"])}
                 P_pad = jnp.int32(prompts.shape[1])
                 new["cnt"] = state["cnt"].at[slots].set(
                     jnp.full((n,), P_pad, jnp.int32))

@@ -81,10 +81,12 @@ def main(argv):
     badm_ms = (time.perf_counter() - t0) / 3 * 1e3
     print(f"admit8  {badm_ms:7.2f} ms/batch   ({badm_ms / 8:.2f} ms/window)", flush=True)
 
-    # --- step: warm then time, no retirement -------------------------------
-    pool.step(retire=False)
+    # --- step: warm BOTH program variants (flush every W steps), then time --
+    Wr = pool.ring_width
+    for _ in range(Wr + 1):  # covers (k=1, no-flush) AND (k=1, flush)
+        pool.step(retire=False)
     fetch()
-    n_steps = 30
+    n_steps = 32
     t0 = time.perf_counter()
     for _ in range(n_steps):
         pool.step(retire=False)
@@ -93,15 +95,17 @@ def main(argv):
     print(f"step    {step_ms:7.2f} ms/step    ({pool.n_active} active slots)", flush=True)
 
     # --- multi-step dispatch (k steps scanned per jit call) -----------------
-    for k in (4, 8):
-        pool.step(retire=False, k=k)
-        fetch()
-        t0 = time.perf_counter()
-        for _ in range(max(2, n_steps // k)):
+    for k in (4, 8, 16):
+        for _ in range(max(1, Wr // k) + 1):  # warm no-flush + flush variants
             pool.step(retire=False, k=k)
         fetch()
-        k_ms = (time.perf_counter() - t0) / max(2, n_steps // k) / k * 1e3
-        print(f"step k={k} {k_ms:6.2f} ms/step", flush=True)
+        n_calls = max(2, 2 * Wr // k)
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            pool.step(retire=False, k=k)
+        fetch()
+        k_ms = (time.perf_counter() - t0) / n_calls / k * 1e3
+        print(f"step k={k:2d} {k_ms:6.2f} ms/step", flush=True)
 
     # --- retire fetch cost --------------------------------------------------
     t0 = time.perf_counter()
