@@ -189,12 +189,14 @@ def main():
         t_cap = min(dims.n_text_ctx, -(-(prompt_len + decode_tokens + 1) // 128) * 128)
         cache = W.init_cache(dims, mel.shape[0], enc.shape[1], dtype=jnp.bfloat16,
                              self_kv_int8=int8_self_kv, t_text=t_cap)
-        ck, cv = W.compute_cross_kv(params, dims, enc, dtype=jnp.bfloat16)
         if int8_kv:
-            kq, vq, ks, vs = W.quantize_cross_kv(ck, cv)
+            # quantize inside the per-layer map — the bf16 cross-KV never
+            # round-trips through HBM
+            kq, vq, ks, vs = W.compute_cross_kv(params, dims, enc, int8=True)
             cache = {**cache, "cross_k": kq, "cross_v": vq,
                      "cross_k_scale": ks, "cross_v_scale": vs}
         else:
+            ck, cv = W.compute_cross_kv(params, dims, enc, dtype=jnp.bfloat16)
             cache = {**cache, "cross_k": ck, "cross_v": cv}
         # uniform_pos stays False: the batchwide-DUS write makes XLA re-layout
         # the self-KV Dh-minor (2x pad) + double-buffer it -> OOM at B=32

@@ -252,14 +252,15 @@ def transcribe_window(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mas
     cache = W.init_cache(dims, mel.shape[0], enc.shape[1],
                          dtype=params["decoder"]["tok_emb"].dtype,
                          self_kv_int8=self_kv_int8, t_text=t_cap)
-    ck, cv = W.compute_cross_kv(params, dims, enc, dtype=cache["cross_k"].dtype)
     if cross_kv_int8:
         # per-channel int8 cross-KV: halves the dominant decode-time HBM
-        # traffic (PERF.md); scales fold exactly into q / output
-        kq, vq, ks, vs = W.quantize_cross_kv(ck, cv)
+        # traffic (PERF.md); scales fold exactly into q / output. Quantized
+        # inside the per-layer map — no bf16 HBM round trip.
+        kq, vq, ks, vs = W.compute_cross_kv(params, dims, enc, int8=True)
         cache = {**cache, "cross_k": kq, "cross_v": vq,
                  "cross_k_scale": ks, "cross_v_scale": vs}
     else:
+        ck, cv = W.compute_cross_kv(params, dims, enc, dtype=cache["cross_k"].dtype)
         cache = {**cache, "cross_k": ck, "cross_v": cv}
 
     # NOTE: uniform_pos (batchwide-DUS KV writes) stays OFF here even though

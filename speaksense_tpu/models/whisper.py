@@ -297,7 +297,7 @@ def _flash_attention_full(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array
     zero-padded to a 128-multiple; padded KEYS are masked via segment ids
     (padded query rows are sliced away)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        flash_attention, SegmentIds,
+        BlockSizes, flash_attention, SegmentIds,
     )
 
     B, H, T, Dh = q.shape
@@ -312,8 +312,21 @@ def _flash_attention_full(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array
         seg = SegmentIds(q=ids, kv=ids)
     else:
         seg = None
+
+    # Tuned block sizes: the kernel's defaults (512/512) measured SLOWER
+    # than XLA's fused attention at the encoder shape, but q=768 over the
+    # full 1536-key major axis beats it 45.8 -> 32.7 ms (B=32, H=20,
+    # T=1536, Dh=64 — tools/microbench_encattn.py). Blocks must divide the
+    # padded sequence; pick the largest tuned candidates that do.
+    def _largest(cands, n):
+        return next((c for c in cands if n % c == 0), 128)
+
+    bq = _largest((768, 512, 256, 128), Tp)
+    bkm = _largest((1536, 768, 512, 256, 128), Tp)
+    bk = min(bkm, 768)
+    bs = BlockSizes(block_q=bq, block_k_major=bkm, block_k=bk, block_b=1)
     out = flash_attention(q, k, v, segment_ids=seg, causal=False,
-                          sm_scale=q.shape[-1] ** -0.5)
+                          sm_scale=q.shape[-1] ** -0.5, block_sizes=bs)
     return out[:, :, :T, :]
 
 
@@ -343,20 +356,31 @@ def encode(params: Params, dims: WhisperDims, mel: jax.Array, n_ctx_out: int | N
     flash=None auto-selects the Pallas flash-attention kernel on TPU
     (O(T) memory; XLA attention elsewhere).
     """
-    if flash is None:
-        # Opt-in for now (SPEAKSENSE_FLASH=1): the Pallas flash kernel is
-        # wired and unit-covered, but could not yet be timing-validated on
-        # the attached chip this round; the XLA path is the measured
-        # (74x realtime) baseline. Flip to TPU-default once verified.
-        import os
-
-        flash = os.environ.get("SPEAKSENSE_FLASH", "") not in ("", "0", "false")
     p = params["encoder"]
     x = mel
     x = jax.nn.gelu(_conv1d(x, p["conv1"], 1), approximate=False)
     x = jax.nn.gelu(_conv1d(x, p["conv2"], 2), approximate=False)
     t = x.shape[1] if n_ctx_out is None else n_ctx_out
     x = x[:, :t] + p["pos"][:t].astype(x.dtype)
+
+    if flash is None:
+        # Default ON for large contexts on accelerator backends: the Pallas
+        # flash kernel with TUNED blocks beats XLA's fused attention at the
+        # full-window shape (encode+prefill phase 763 -> 919x realtime at
+        # B=32 large-v3; isolated 45.8 -> 32.7 ms/layer — PERF.md). Short
+        # streaming buckets (t < 1024) keep XLA's path, which wins there;
+        # SPEAKSENSE_FLASH=0/1 force-overrides.
+        import os
+
+        env = os.environ.get("SPEAKSENSE_FLASH", "")
+        if env != "":
+            flash = env not in ("0", "false")
+        else:
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:  # pragma: no cover
+                platform = "cpu"
+            flash = platform != "cpu" and t >= 1024
 
     n_head = dims.n_audio_head
 
@@ -689,20 +713,37 @@ def _dec_scan_out_to_cache(cache: Params, out: dict, new_pos: jax.Array) -> Para
     return cache
 
 
-def compute_cross_kv(params: Params, dims: WhisperDims, enc_out: jax.Array, dtype=jnp.bfloat16):
+def compute_cross_kv(params: Params, dims: WhisperDims, enc_out: jax.Array, dtype=jnp.bfloat16,
+                     int8: bool = False):
     """Encoder states -> stacked cross-attention K/V, time-minor:
     (L, B, H, Dh, A) each. Computed once per 30 s window; reused across every
-    decode step of that window (and across beam hypotheses)."""
+    decode step of that window (and across beam hypotheses).
+
+    int8=True quantizes per (layer, slot, head, channel) INSIDE the per-layer
+    map (returns (kq, vq, k_scale, v_scale) — same contract as
+    quantize_cross_kv): the bf16 tensors never round-trip through HBM
+    (~12 GB of traffic per B=32 large-v3 window batch otherwise)."""
     n_head = dims.n_text_head
 
     def per_layer(bp):
         k = _split_heads(_linear(enc_out, bp["ck"]), n_head)
         v = _split_heads(_linear(enc_out, bp["cv"]), n_head)
-        return (jnp.swapaxes(k, -1, -2).astype(dtype),
-                jnp.swapaxes(v, -1, -2).astype(dtype))
+        k = jnp.swapaxes(k, -1, -2)
+        v = jnp.swapaxes(v, -1, -2)
+        if int8:
+            def q8(x):
+                amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+                scale = jnp.maximum(amax, 1e-8) / 127.0
+                q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                             -127, 127).astype(jnp.int8)
+                return q, scale
 
-    ks, vs = jax.lax.map(per_layer, params["decoder"]["blocks"])
-    return ks, vs
+            kq, ks = q8(k)
+            vq, vs = q8(v)
+            return kq, vq, ks, vs
+        return k.astype(dtype), v.astype(dtype)
+
+    return jax.lax.map(per_layer, params["decoder"]["blocks"])
 
 
 def fuse_qkv_weights(params: Params, encoder: bool = True) -> Params:

@@ -175,12 +175,13 @@ class SlotPool:
             cache1 = W.init_cache(dims, n, enc.shape[1], dtype=self.engine.dtype,
                                   self_kv_int8=self.self_int8,
                                   t_text=self.state["self_k"].shape[-1])
-            ck, cv = W.compute_cross_kv(params, dims, enc, dtype=self.engine.dtype)
             if self.int8_kv:
-                kq, vq, ks, vs = W.quantize_cross_kv(ck, cv)
+                kq, vq, ks, vs = W.compute_cross_kv(params, dims, enc, int8=True)
                 cache1 = {**cache1, "cross_k": kq, "cross_v": vq,
                           "cross_k_scale": ks, "cross_v_scale": vs}
             else:
+                ck, cv = W.compute_cross_kv(params, dims, enc,
+                                            dtype=self.engine.dtype)
                 cache1 = {**cache1, "cross_k": ck, "cross_v": cv}
             logits, cache1 = W.decode_prefill(params, dims, prompts, cache1,
                                               prompt_len=plen)

@@ -400,3 +400,19 @@ def test_uniform_fill_matches_dus(tiny_model, rng):
     assert int(np.asarray(cache["fill"])) == toks.shape[1]
     for t in range(toks.shape[1]):
         np.testing.assert_allclose(got[t], ref[t], rtol=2e-5, atol=2e-5)
+
+
+def test_fused_int8_cross_kv_matches_two_pass(tiny_model, rng):
+    """compute_cross_kv(int8=True) (quantize inside the per-layer map, no
+    bf16 HBM round trip) must equal quantize_cross_kv over the two-pass
+    result exactly (same math, same order)."""
+    params, dims = tiny_model
+    mel = jnp.asarray(rng.standard_normal((2, 3000, dims.n_mels)), jnp.float32)
+    enc = W.encode(params, dims, mel)
+    ck, cv = W.compute_cross_kv(params, dims, enc, dtype=jnp.float32)
+    kq0, vq0, ks0, vs0 = W.quantize_cross_kv(ck, cv)
+    kq1, vq1, ks1, vs1 = W.compute_cross_kv(params, dims, enc, int8=True)
+    np.testing.assert_array_equal(np.asarray(kq1), np.asarray(kq0))
+    np.testing.assert_array_equal(np.asarray(vq1), np.asarray(vq0))
+    np.testing.assert_allclose(np.asarray(ks1), np.asarray(ks0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vs1), np.asarray(vs0), rtol=1e-6)
