@@ -71,3 +71,69 @@ def test_empty_audio_final():
     responses = asyncio.run(_run_stream(requests))
     assert len(responses) == 1
     assert responses[0].end == 1
+
+
+def test_concurrent_streams_through_slot_pool():
+    """Load/drain test (SURVEY §5 failure-detection parity): several
+    concurrent gRPC streams share the token-level slot pool (fewer slots
+    than streams), every stream gets its final end=1 response, and the
+    server + pool drain cleanly afterwards."""
+    import jax
+
+    from speaksense_tpu.asr.engine import WhisperEngine
+    from speaksense_tpu.config import EngineConfig
+    from speaksense_tpu.models.whisper import WhisperDims, init_params
+    from speaksense_tpu.models.tokenizer import Tokenizer
+
+    dims = WhisperDims(
+        n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+        n_text_head=4, n_text_layer=2)
+    engine = WhisperEngine(init_params(dims, jax.random.PRNGKey(0)), dims,
+                           Tokenizer.synthetic(dims.n_vocab),
+                           config=EngineConfig(compute_dtype="float32"))
+    engine.enable_slot_serving(n_slots=2, t_mel=512, max_new=8)
+
+    rng = np.random.default_rng(0)
+
+    def _noise_b64(seconds):
+        pcm = (rng.standard_normal(int(16000 * seconds)) * 500).astype(np.int16)
+        return base64.b64encode(pcm.tobytes())
+
+    async def run_all(n_streams):
+        server = GrpcServer(engine, port=0, registry=None, language="en",
+                            denoise=False)
+        await server.start()
+        try:
+            async with grpc.aio.insecure_channel(f"127.0.0.1:{server.port}") as ch:
+                call_factory = ch.stream_stream(
+                    SERVICE_PATH,
+                    request_serializer=asr_pb2.TranscribeRequest.SerializeToString,
+                    response_deserializer=asr_pb2.TranscribeResponse.FromString,
+                )
+
+                async def one(i):
+                    reqs = [
+                        asr_pb2.TranscribeRequest(type=asr_pb2.PCM, end=0,
+                                                  audio=_noise_b64(5.2),
+                                                  device_id=f"dev-{i}"),
+                        asr_pb2.TranscribeRequest(type=asr_pb2.PCM, end=1,
+                                                  audio=_noise_b64(1.0)),
+                    ]
+                    return [r async for r in call_factory(iter(reqs))]
+
+                return await asyncio.gather(*(one(i) for i in range(n_streams)))
+        finally:
+            await server.stop(grace=0.1)
+
+    try:
+        results = asyncio.run(run_all(4))
+        assert len(results) == 4
+        for i, responses in enumerate(results):
+            assert responses, f"stream {i} got no responses"
+            assert responses[-1].end == 1
+        pool = engine._slot_server.pool
+        assert pool.n_active == 0            # drained
+        assert sorted(pool.free) == [0, 1]   # slots recycled
+    finally:
+        engine.disable_slot_serving()

@@ -36,6 +36,9 @@ def main(variants):
 
     dims = W.MODEL_DIMS["large-v3"]
     B, steps = 32, 50
+    # MB_T: self-KV time-axis length (448 = full n_text_ctx history;
+    # 256 = the headline bench's capped shape)
+    T_self = int(os.environ.get("MB_T", "448"))
     n_head = dims.n_text_head
     params = jax.tree.map(
         lambda x: jnp.asarray(x.astype(ml_dtypes.bfloat16) if x.ndim >= 2 else x),
@@ -46,8 +49,8 @@ def main(variants):
     A = dims.n_audio_ctx + 36  # 1536 lane-aligned
     rng = np.random.default_rng(0)
     cache0 = {
-        "self_k": jnp.asarray(rng.standard_normal((L, B, H, Dh, dims.n_text_ctx)), jnp.bfloat16),
-        "self_v": jnp.asarray(rng.standard_normal((L, B, H, Dh, dims.n_text_ctx)), jnp.bfloat16),
+        "self_k": jnp.asarray(rng.standard_normal((L, B, H, Dh, T_self)), jnp.bfloat16),
+        "self_v": jnp.asarray(rng.standard_normal((L, B, H, Dh, T_self)), jnp.bfloat16),
         "cross_k": jnp.asarray(rng.integers(-127, 127, (L, B, H, Dh, A)), jnp.int8),
         "cross_v": jnp.asarray(rng.integers(-127, 127, (L, B, H, Dh, A)), jnp.int8),
         "cross_k_scale": jnp.asarray(rng.random((L, B, H, Dh, 1)), jnp.float32),
@@ -116,7 +119,7 @@ def main(variants):
         b*T + pos[b], instead of a serial B-iteration DUS loop. Attention
         reads use the (B, T)-unflattened view. Joint-column attention (no
         in-layer write), matching the production deferred path."""
-        T = dims.n_text_ctx
+        T = T_self
         L, H_, Dh_ = dims.n_text_layer, dims.n_text_head, dims.n_text_state // dims.n_text_head
 
         def block(carry, xs):
@@ -239,7 +242,7 @@ def main(variants):
             p = params["decoder"]
             pos = cache["pos"]
             x = p["tok_emb"][tok][:, None, :] + p["pos"][pos][:, None, :].astype(jnp.bfloat16)
-            k_idx = jnp.arange(dims.n_text_ctx)[None, None, None, :]
+            k_idx = jnp.arange(T_self)[None, None, None, :]
             mask = k_idx <= pos[:, None, None, None]
             xs = {"bp": p["blocks"], "sk": cache["self_k"], "sv": cache["self_v"],
                   "ck": cache["cross_k"], "cv": cache["cross_v"],
