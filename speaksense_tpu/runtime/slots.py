@@ -240,10 +240,19 @@ class SlotPool:
         assert not ring_mode or k <= W_ring, (
             f"steps_per_dispatch {k} overflows the {W_ring}-row KV ring")
 
+        import os
+
+        # profiling-only ablation knob (tools/microbench_slots.py): skip the
+        # logit-rule chain to isolate its share of the step time
+        norules = os.environ.get("SPEAKSENSE_POOL_NORULES", "") not in ("", "0")
+
         def step(params, suppress, state):
-            filtered = D.apply_logit_rules(
-                state["last_logits"], cfg, suppress,
-                state["n_sampled"], state["last"], state["penult"], state["last_ts"])
+            if norules:
+                filtered = state["last_logits"]
+            else:
+                filtered = D.apply_logit_rules(
+                    state["last_logits"], cfg, suppress,
+                    state["n_sampled"], state["last"], state["penult"], state["last_ts"])
             tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
             tok = jnp.where(state["active"], tok, cfg.eot)
             lp = jax.nn.log_softmax(filtered, axis=-1)

@@ -96,6 +96,9 @@ def main(argv):
 
     # --- multi-step dispatch (k steps scanned per jit call) -----------------
     for k in (4, 8, 16):
+        while pool.ring_fill:  # align to a chunk boundary: step() clamps
+            pool.step(retire=False, k=1)  # k to W - fill, so a misaligned
+        fetch()                # start compiles extra (k', flush) variants
         for _ in range(max(1, Wr // k) + 1):  # warm no-flush + flush variants
             pool.step(retire=False, k=k)
         fetch()
