@@ -69,12 +69,13 @@ class SlotPool:
         the legacy per-slot write path (the ring stores bf16 rows), so it is
         a memory-headroom option, not a speed one (measured speed-neutral).
 
-        Default (bf16 self-KV) uses RING-buffered writes: per-step KV lands
-        in a small ring at a row index shared by every slot (the global step
-        counter — slots decode in lockstep even though their fills differ),
-        and one per-slot flush per dispatch folds it into the pages. The
-        per-step per-slot DUS loop this replaces measured ~25 of 31 ms/step
-        at S=64 large-v3 (PERF.md)."""
+        Default (bf16 self-KV) uses RING-buffered writes over CIRCULAR
+        pages: per-step KV lands in a small ring at a row index shared by
+        every slot (the in-chunk step counter — slots decode in lockstep
+        even though their fills differ), and ONE uniform flush per chunk
+        folds it in at column gstep % T. The per-step per-slot DUS loop
+        this replaces measured ~25 of 31 ms/step, and the per-slot flush
+        loop ~53 ms/chunk, at S=64 large-v3 (PERF.md)."""
         self.engine = engine
         self.dims = engine.dims
         self.S = n_slots
@@ -393,7 +394,7 @@ class SlotPool:
         P = max(len(j.prompt) for j in batch)
         assert P <= self.max_prompt, (
             f"pool prompts are SOT sequences (<= {self.max_prompt} tokens); "
-            f"got {P} — the t_text budget and ring-flush slack assume this")
+            f"got {P} — the circular-page t_text budget assumes this")
 
         slots = np.full((bucket,), self.S, np.int32)       # padding -> scratch
         valid = np.zeros((bucket,), bool)
