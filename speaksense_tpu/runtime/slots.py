@@ -304,11 +304,12 @@ class SlotPool:
             new.update(cache)
             if not ring_mode:
                 # don't advance pos for inactive slots (keeps their pages
-                # frozen). Ring mode advances EVERYONE: the chunk flush
-                # derives each slot's archive offset as pos - ring_n, which
-                # requires uniform advancement; inactive slots accumulate
-                # masked garbage in soon-to-be-recycled pages (admission
-                # resets pos and overwrites).
+                # frozen — the legacy path's validity mask is pos-derived).
+                # Circular mode advances EVERYONE: validity is age-derived
+                # (cnt/plen/ppad), pos only feeds position embeddings, and
+                # uniform advancement keeps every slot's column = the global
+                # cursor; inactive slots accumulate masked garbage in
+                # soon-to-be-recycled pages (admission resets everything).
                 new["pos"] = jnp.where(state["active"], cache["pos"], state["pos"])
             new["last_logits"] = logits
             new["tokens"] = tokens
