@@ -108,6 +108,7 @@ def bench_beam(model_name: str):
     beam = int(os.environ.get("BENCH_BEAM", "5"))
     max_new = int(os.environ.get("BENCH_DECODE_TOKENS", "224"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    int8_kv = os.environ.get("BENCH_INT8_KV", "1") not in ("", "0", "false")
     dims = W.MODEL_DIMS[model_name]
     params = jax.tree.map(
         lambda x: jnp.asarray(x.astype(ml_dtypes.bfloat16) if x.ndim >= 2 else x),
@@ -120,7 +121,7 @@ def bench_beam(model_name: str):
     prompt = jnp.tile(jnp.asarray(tok.sot_sequence("en"), jnp.int32), (batch, 1))
 
     fn = jax.jit(lambda p, m, pr: transcribe_window_beam(
-        p, dims, cfg, suppress, m, pr, beam_size=beam))
+        p, dims, cfg, suppress, m, pr, beam_size=beam, cross_kv_int8=int8_kv))
     np.asarray(fn(params, mel, prompt)["tokens"])  # compile + warmup
     times = []
     for _ in range(iters):
@@ -131,7 +132,8 @@ def bench_beam(model_name: str):
     rtf = batch * 30.0 / dt
     print(json.dumps({
         "metric": f"{model_name} beam-search transcription real-time factor "
-                  f"(B={batch}, beam={beam}, {max_new} max tokens/window)",
+                  f"(B={batch}, beam={beam}, {max_new} max tokens/window"
+                  f"{', int8 cross-KV' if int8_kv else ''})",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 30.0, 2),

@@ -244,7 +244,8 @@ class WhisperEngine(AsrEngine):
                                               prompt, beam_size=beam_size,
                                               n_audio_ctx=n_audio_ctx,
                                               prompt_len=prompt_len,
-                                              sot_index=sot_index)
+                                              sot_index=sot_index,
+                                              cross_kv_int8=self.config.cross_kv_int8)
 
             fn = jax.jit(run)
             self._jit_cache[key] = fn

@@ -50,7 +50,7 @@ def _beam_block_factory(dims: W.WhisperDims, B: int, K: int):
 
     def block(carry, xs):
         x, pos, oh_cache, oh_ring = carry  # x (BK, 1, d); pos (BK,)
-        bp, sk, sv, rk, rv, ck, cv = xs
+        bp, sk, sv, rk, rv, ck, cv, cks, cvs = xs  # cks/cvs None unless int8 cross
         h = W._ln(x, bp["attn_ln"])
         q, k_new, v_new = W._qkv_proj(h, bp, n_head)  # (BK, H, 1, Dh)
         qb = q[:, :, 0, :].reshape(B, K, n_head, -1)   # (B, K, H, Dh)
@@ -84,15 +84,25 @@ def _beam_block_factory(dims: W.WhisperDims, B: int, K: int):
         attn = out.astype(qb.dtype).reshape(B * K, n_head, 1, -1)
         x = x + W._linear(W._merge_heads(attn), bp["o"])
 
-        # cross-attention: beams share their batch row's encoder KV
+        # cross-attention: beams share their batch row's encoder KV.
+        # int8 cross (cks/cvs present): per-channel scales fold exactly into
+        # the query (keys) and the output (values), as in _cached_attention_q8
         h = W._ln(x, bp["cross_ln"])
         cq = W._split_heads(W._linear(h, bp["cq"]), n_head)  # (BK, H, 1, Dh)
         cqb = cq.reshape(B, K, n_head, cq.shape[-1])          # (B, K, H, Dh)
-        logits = jnp.einsum("bkhd,bhda->bkha", cqb, ck.astype(cqb.dtype),
+        if cks is not None:
+            cq_in = (cqb.astype(jnp.float32)
+                     * cks[:, None, :, :, 0]).astype(cqb.dtype)  # (B,K,H,Dh)
+        else:
+            cq_in = cqb
+        logits = jnp.einsum("bkhd,bhda->bkha", cq_in, ck.astype(cqb.dtype),
                             preferred_element_type=jnp.float32) * scale
         weights = jax.nn.softmax(logits, axis=-1).astype(cqb.dtype)
         ctx = jnp.einsum("bkha,bhda->bkhd", weights, cv.astype(cqb.dtype),
-                         preferred_element_type=jnp.float32).astype(cqb.dtype)
+                         preferred_element_type=jnp.float32)
+        if cvs is not None:
+            ctx = ctx * cvs[:, None, :, :, 0]
+        ctx = ctx.astype(cqb.dtype)
         ctx = ctx.reshape(B * K, n_head, 1, ctx.shape[-1])
         x = x + W._linear(W._merge_heads(ctx), bp["co"])
         h = W._ln(x, bp["mlp_ln"])
@@ -107,7 +117,8 @@ def _beam_block_factory(dims: W.WhisperDims, B: int, K: int):
 def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
                 suppress_mask: jax.Array, enc_out: jax.Array, prompt: jax.Array,
                 beam_size: int = 5, prompt_len: jax.Array | None = None,
-                sot_index: int | jax.Array = 0, ring_width: int = 16):
+                sot_index: int | jax.Array = 0, ring_width: int = 16,
+                cross_kv_int8: bool = False):
     """Beam-search one batch of windows.
 
     enc_out: (B, A, d) encoder states; prompt: (B, P) int32. Variable-length
@@ -132,9 +143,17 @@ def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
     # attention still reads the full static axis every step).
     t_cap = min(dims.n_text_ctx, -(-(P + L) // 128) * 128)
     cache = W.init_cache(dims, B * K, A, dtype=dtype, t_text=t_cap)
-    ck, cv = W.compute_cross_kv(params, dims, enc_out, dtype=dtype)  # (L,B,H,Dh,A)
     rep = lambda x: jnp.repeat(x, K, axis=1)
-    cache_rep = {**cache, "cross_k": rep(ck), "cross_v": rep(cv)}
+    if cross_kv_int8:
+        # per-channel int8 cross-KV (halves the dominant cross read, ~2 GB/
+        # step bf16 at B=8); scales fold into q/output in the beam block
+        ck, cv, cks, cvs = W.compute_cross_kv(params, dims, enc_out, int8=True)
+        cache_rep = {**cache, "cross_k": rep(ck), "cross_v": rep(cv),
+                     "cross_k_scale": rep(cks), "cross_v_scale": rep(cvs)}
+    else:
+        ck, cv = W.compute_cross_kv(params, dims, enc_out, dtype=dtype)  # (L,B,H,Dh,A)
+        cks = cvs = None
+        cache_rep = {**cache, "cross_k": rep(ck), "cross_v": rep(cv)}
     prompt_rep = jnp.repeat(prompt, K, axis=0)
     pl_rep = None if prompt_len is None else jnp.repeat(prompt_len, K, axis=0)
     prefill_logits, cache_rep = W.decode_prefill(params, dims, prompt_rep, cache_rep,
@@ -176,7 +195,7 @@ def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
         rvv = ring["v"].reshape(*rkv.shape)
         (x, _, _, _), (k_new, v_new) = jax.lax.scan(
             block, (x, pos, oh_cache, oh_ring),
-            (params["decoder"]["blocks"], skv, svv, rkv, rvv, ck, cv))
+            (params["decoder"]["blocks"], skv, svv, rkv, rvv, ck, cv, cks, cvs))
         # ring write at the uniform row n (k_new: (L, BK, H, 1, Dh))
         z = jnp.zeros((), jnp.int32)
         ring = {"k": jax.lax.dynamic_update_slice(ring["k"], k_new, (z, z, z, n, z)),
@@ -315,8 +334,10 @@ def transcribe_window_beam(params, dims: W.WhisperDims, cfg: RuleConfig,
                            suppress_mask: jax.Array, mel: jax.Array, prompt: jax.Array,
                            beam_size: int = 5, n_audio_ctx: int | None = None,
                            prompt_len: jax.Array | None = None,
-                           sot_index: int | jax.Array = 0):
+                           sot_index: int | jax.Array = 0,
+                           cross_kv_int8: bool = False):
     """Beam-search counterpart of decode.transcribe_window."""
     enc = W.encode(params, dims, mel, n_ctx_out=n_audio_ctx)
     return beam_decode(params, dims, cfg, suppress_mask, enc, prompt, beam_size,
-                       prompt_len=prompt_len, sot_index=sot_index)
+                       prompt_len=prompt_len, sot_index=sot_index,
+                       cross_kv_int8=cross_kv_int8)

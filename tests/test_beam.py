@@ -153,3 +153,19 @@ def test_beam_score_matches_teacher_forced(setup):
                     last_ts = tok
                 ns += 1
         np.testing.assert_allclose(total, sum_lp[b], rtol=2e-4, atol=2e-3)
+
+
+def test_beam_int8_cross_kv_close_to_fp(setup):
+    """int8 cross-KV beam (per-channel scales folded into q/output) stays
+    token-identical on the stable prefix and numerically close on scores."""
+    params, enc, prompt, _ = setup
+    fp = beam_decode(params, DIMS, CFG, SUPPRESS, enc, prompt, beam_size=3)
+    q8 = beam_decode(params, DIMS, CFG, SUPPRESS, enc, prompt, beam_size=3,
+                     cross_kv_int8=True)
+    ft, qt = np.asarray(fp["tokens"]), np.asarray(q8["tokens"])
+    fn_, qn = np.asarray(fp["n_sampled"]), np.asarray(q8["n_sampled"])
+    for b in range(ft.shape[0]):
+        n = min(fn_[b], qn[b], 4)  # stable prefix only (quantization noise)
+        np.testing.assert_array_equal(ft[b, :n], qt[b, :n])
+    np.testing.assert_allclose(np.asarray(q8["no_speech_prob"]),
+                               np.asarray(fp["no_speech_prob"]), atol=0.05)
