@@ -39,7 +39,9 @@ def build_engine(config: Config, fake: bool = False):
 def build_context(config: Config, engine):
     from speaksense_tpu.auth import Auth
     from speaksense_tpu.schedule.manager import TaskManager
-    from speaksense_tpu.schedule.processors import TranscribeProcessor
+    from speaksense_tpu.schedule.processors import (
+        NoiseReductionProcessor, TranscribeProcessor,
+    )
     from speaksense_tpu.schedule.scheduler import create_scheduler
     from speaksense_tpu.schedule.types import TaskType
     from speaksense_tpu.serving.rest import AppContext
@@ -52,7 +54,9 @@ def build_context(config: Config, engine):
 
     manager = TaskManager(task_storage)
     manager.register_processor(TranscribeProcessor(engine, audio_dir=config.audio_path))
-    scheduler = create_scheduler(manager, [TaskType.TRANSCRIBE])
+    manager.register_processor(NoiseReductionProcessor(audio_dir=config.audio_path))
+    scheduler = create_scheduler(manager,
+                                 [TaskType.TRANSCRIBE, TaskType.NOISE_REDUCTION])
     return AppContext(auth=auth, task_manager=manager), scheduler
 
 

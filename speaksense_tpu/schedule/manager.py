@@ -70,10 +70,14 @@ class TaskManager:
         log.info("created task %s (%s)", task.id, config.task_type)
         return task
 
-    def get_next_task(self) -> Optional[Task]:
+    def get_next_task(self, task_type: Optional[TaskType] = None) -> Optional[Task]:
         """Claim the highest-priority pending/retrying task not already being
-        processed."""
-        candidates = self.storage.get_pending_by_priority(10)
+        processed. task_type filters BEFORE claiming — the reference claims
+        any type and lets the worker drop mismatches (task_manager.rs:85-119,
+        worker.rs:52-54), leaving the task wedged in Processing until the
+        stale sweep; filtering here makes multi-processor deployments safe."""
+        candidates = self.storage.get_pending_by_priority(
+            10, task_type=task_type.value if task_type else None)
         with self._lock:
             for task in candidates:
                 if task.id in self._processing:

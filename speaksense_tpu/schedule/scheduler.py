@@ -49,8 +49,8 @@ class TaskWorker:
                 self._stop.wait(0.1)
 
     def _process_next(self) -> bool:
-        task = self.manager.get_next_task()
-        if task is None or task.config.task_type != self.task_type:
+        task = self.manager.get_next_task(self.task_type)
+        if task is None:
             return False
         log.info("processing %s task %s", self.task_type, task.id)
         try:

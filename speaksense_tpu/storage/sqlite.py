@@ -185,14 +185,24 @@ class SqliteTaskStorage(_SqliteBase, TaskStorage):
                 (size, (index - 1) * size)).fetchall()
         return [self._from_row(r) for r in rows]
 
-    def get_pending_by_priority(self, limit: int) -> list[Task]:
+    def get_pending_by_priority(self, limit: int,
+                                task_type: Optional[str] = None) -> list[Task]:
+        """Pending/Retrying tasks by priority; task_type (a TaskType value
+        string) filters in SQL so one type's backlog can't shadow another's
+        within the LIMIT window (the reference claims any type and lets the
+        worker drop mismatches — task_manager.rs:85-119 + worker.rs:52-54 —
+        which wedges the claimed task; we filter before claiming)."""
         pending = _status_db(TaskStatus.pending())
         retrying = _status_db(TaskStatus.retrying())
+        sql = (f"SELECT {self._COLS} FROM tasks WHERE status IN (?, ?) ")
+        args: list = [pending, retrying]
+        if task_type is not None:
+            sql += "AND json_extract(config, '$.task_type') = ? "
+            args.append(task_type)
+        sql += "ORDER BY priority ASC, created_at ASC LIMIT ?"
+        args.append(limit)
         with self._lock:
-            rows = self._conn.execute(
-                f"SELECT {self._COLS} FROM tasks WHERE status IN (?, ?) "
-                "ORDER BY priority ASC, created_at ASC LIMIT ?",
-                (pending, retrying, limit)).fetchall()
+            rows = self._conn.execute(sql, args).fetchall()
         return [self._from_row(r) for r in rows]
 
     def get(self, task_id: str) -> Optional[Task]:

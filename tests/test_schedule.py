@@ -169,3 +169,61 @@ def test_stale_claim_cleanup(manager, tmp_path):
         manager._processing[claimed.id] = _time.monotonic() - M.STALE_CLAIM_SECONDS - 1
     assert manager.cleanup_stale_claims() == 1
     assert claimed.id not in manager._processing
+
+
+def test_typed_claim_does_not_wedge_other_types(manager, tmp_path):
+    """A worker asking for one TaskType must not claim (and wedge) a task of
+    another type — the reference bug: get_next_task claimed ANY type, the
+    worker dropped mismatches, and the claimed row sat Processing until the
+    30-min stale sweep (task_manager.rs:85-119 + worker.rs:52-54)."""
+    from speaksense_tpu.schedule.processors import NoiseReductionProcessor
+    from speaksense_tpu.schedule.types import TaskParams
+
+    manager.register_processor(NoiseReductionProcessor(audio_dir=str(tmp_path)))
+    nr_cfg = TaskConfig(
+        task_type=TaskType.NOISE_REDUCTION, input_path=str(_wav(tmp_path, "n.wav")),
+        path_type=PathType.LOCAL, callback_type=CallbackType.none(),
+        params=TaskParams(TaskType.NOISE_REDUCTION, {}),
+        priority=TaskPriority.CRITICAL)  # higher priority than the transcribe task
+    nr_task = manager.create_task(nr_cfg)
+    tr_task = manager.create_task(_config(_wav(tmp_path, "t.wav")))
+
+    # a Transcribe-typed claim must skip the higher-priority NR task entirely
+    claimed = manager.get_next_task(TaskType.TRANSCRIBE)
+    assert claimed.id == tr_task.id
+    # NR task is still Pending (not wedged in Processing)
+    assert manager.get_task(nr_task.id).status.kind == TaskStatus.PENDING
+    claimed_nr = manager.get_next_task(TaskType.NOISE_REDUCTION)
+    assert claimed_nr.id == nr_task.id
+
+
+def test_two_workers_two_types_under_contention(manager, tmp_path):
+    """Two workers of different types against a mixed queue: every task is
+    processed by its own type's worker, none wedge."""
+    from speaksense_tpu.schedule.processors import NoiseReductionProcessor
+    from speaksense_tpu.schedule.types import TaskParams
+
+    manager.register_processor(NoiseReductionProcessor(audio_dir=str(tmp_path)))
+    tasks = []
+    for i in range(4):
+        tasks.append(manager.create_task(_config(_wav(tmp_path, f"t{i}.wav"))))
+        tasks.append(manager.create_task(TaskConfig(
+            task_type=TaskType.NOISE_REDUCTION,
+            input_path=str(_wav(tmp_path, f"n{i}.wav")),
+            path_type=PathType.LOCAL, callback_type=CallbackType.none(),
+            params=TaskParams(TaskType.NOISE_REDUCTION, {}))))
+
+    scheduler = TaskScheduler(manager, sweep_interval=5.0)
+    scheduler.spawn_worker(TaskType.TRANSCRIBE, poll_interval=0.02)
+    scheduler.spawn_worker(TaskType.NOISE_REDUCTION, poll_interval=0.02)
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            statuses = [manager.get_task(t.id).status.kind for t in tasks]
+            if all(s == TaskStatus.COMPLETED for s in statuses):
+                break
+            time.sleep(0.05)
+        statuses = [manager.get_task(t.id).status.kind for t in tasks]
+        assert all(s == TaskStatus.COMPLETED for s in statuses), statuses
+    finally:
+        scheduler.stop()
