@@ -261,7 +261,13 @@ class WhisperEngine(AsrEngine):
         mels: (B, T_mel, n_mels); language: one code or a per-slot list (the
         continuous batcher packs windows of different streams/languages into
         one step). Returns per-slot dicts with tokens/text/avg_logprob/
-        no_speech_prob/compression_ratio/temperature."""
+        no_speech_prob/compression_ratio/temperature.
+
+        beam_size=None defers to config.beam_size, so the server flag
+        --beam-size reaches every serving caller (window batcher, stream
+        chunks, task processors) without each one plumbing the knob."""
+        if beam_size is None:
+            beam_size = self.config.beam_size
         mels = jnp.asarray(mels)
         B, T_mel = mels.shape[0], mels.shape[1]
         langs = [language] * B if (language is None or isinstance(language, str)) else list(language)

@@ -49,7 +49,9 @@ class EngineConfig:
 
     # decode parameters mirroring FullParams (src/asr/whisper.rs:131-173)
     best_of: int = 5
-    beam_size: int = 5
+    beam_size: int = 0              # 0/1 = greedy (reference default strategy,
+                                    # whisper.rs:132-141); --beam-size 5 enables
+                                    # beam search on EVERY serving path
     temperature: float = 0.0
     temperature_increment: float = 0.2
     entropy_thold: float = 2.4      # compression-ratio proxy threshold

