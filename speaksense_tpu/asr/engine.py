@@ -304,55 +304,89 @@ class WhisperEngine(AsrEngine):
         temps = np.zeros((B,), np.float32) if temperatures is None else np.asarray(temperatures, np.float32)
         schedule = [t for t in FALLBACK_TEMPS]
         results: list[dict | None] = [None] * B
+        last_attempt: list[dict | None] = [None] * B
         pending = np.ones((B,), bool)
         METRICS.inc("asr_windows_total", B)
         t_start = time.perf_counter()
 
-        for attempt in range(len(schedule)):
-            key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
-            if beam_size and beam_size > 1 and attempt == 0 and not temps.any():
-                # beam search at t=0 (whisper falls back to sampling at t>0);
-                # variable-length conditioning prompts ride the same
-                # prompt_len/sot_index contract as the greedy path
-                bfn = self._beam_fn(B, P, T_mel, with_timestamps,
-                                    max_new, beam_size)
-                out = bfn(self.params, suppress, mels, prompt, prompt_len, sot_index)
-            else:
-                out = fn(self.params, suppress, mels, prompt, prompt_len, sot_index,
-                         jnp.asarray(temps), key)
-            tokens = np.asarray(out["tokens"])
-            n_sampled = np.asarray(out["n_sampled"])
-            avg_lp = np.asarray(out["avg_logprob"])
-            ns_prob = np.asarray(out["no_speech_prob"])
-            retry = np.zeros((B,), bool)
-            for b in range(B):
-                if not pending[b]:
-                    continue
-                text = self.tokenizer.decode(tokens[b, : n_sampled[b]])
-                cr = PP.compression_ratio(text)
-                needs_retry = ((cr > self.config.compression_ratio_thold)
-                               or (avg_lp[b] < self.config.logprob_thold))
-                if needs_retry and temps[b] < schedule[-1]:
-                    temps[b] = schedule[min(attempt + 1, len(schedule) - 1)]
-                    retry[b] = True
-                    METRICS.inc("asr_fallback_retries_total")
-                    continue
-                results[b] = dict(
-                    tokens=tokens[b], n_sampled=int(n_sampled[b]), text=text,
-                    avg_logprob=float(avg_lp[b]), no_speech_prob=float(ns_prob[b]),
-                    compression_ratio=cr, temperature=float(temps[b]),
-                )
-                pending[b] = False
-            if not retry.any():
+        def _candidate(tokens, n_sampled, avg_lp, ns_prob, row, temp) -> dict:
+            text = self.tokenizer.decode(tokens[row, : n_sampled[row]])
+            return dict(
+                tokens=tokens[row], n_sampled=int(n_sampled[row]), text=text,
+                avg_logprob=float(avg_lp[row]), no_speech_prob=float(ns_prob[row]),
+                compression_ratio=PP.compression_ratio(text), temperature=float(temp),
+            )
+
+        def _settle(b: int, cand: dict, attempt: int) -> None:
+            """Accept the slot's candidate or schedule a hotter retry."""
+            last_attempt[b] = cand
+            needs_retry = ((cand["compression_ratio"] > self.config.compression_ratio_thold)
+                           or (cand["avg_logprob"] < self.config.logprob_thold))
+            if needs_retry and temps[b] < schedule[-1]:
+                temps[b] = schedule[min(attempt + 1, len(schedule) - 1)]
+                METRICS.inc("asr_fallback_retries_total")
+                return
+            results[b] = cand
+            pending[b] = False
+
+        # attempt 0: t=0 for every slot — beam search if configured, else
+        # greedy (the reference's SamplingStrategy, whisper.rs:132-141)
+        key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
+        if beam_size and beam_size > 1 and not temps.any():
+            # variable-length conditioning prompts ride the same
+            # prompt_len/sot_index contract as the greedy path
+            bfn = self._beam_fn(B, P, T_mel, with_timestamps, max_new, beam_size)
+            out = bfn(self.params, suppress, mels, prompt, prompt_len, sot_index)
+        else:
+            out = fn(self.params, suppress, mels, prompt, prompt_len, sot_index,
+                     jnp.asarray(temps), key)
+        tokens = np.asarray(out["tokens"])
+        n_sampled = np.asarray(out["n_sampled"])
+        avg_lp = np.asarray(out["avg_logprob"])
+        ns_prob = np.asarray(out["no_speech_prob"])
+        for b in range(B):
+            _settle(b, _candidate(tokens, n_sampled, avg_lp, ns_prob, b, temps[b]), 0)
+
+        # retries: t>0 sampling with best_of candidates per slot (the
+        # reference configures greedy best_of=5, whisper.rs:132-141; openai
+        # whisper applies best_of at t>0 and picks the best avg_logprob).
+        # Candidates are extra ROWS of the same compiled B-bucket program:
+        # a pending slot's mel/prompt is tiled best_of times and each row
+        # draws independent Gumbel noise (decode.py:_sample is per-row).
+        best_of = max(1, int(self.config.best_of))
+        for attempt in range(1, len(schedule)):
+            pend_idx = [b for b in range(B) if pending[b]]
+            if not pend_idx:
                 break
+            bo = best_of
+            Bc = max(B, bo)  # candidate bucket; == B when B >= best_of
+            retry_fn = fn if Bc == B else self._window_fn(Bc, P, T_mel,
+                                                          with_timestamps, max_new)
+            per_call = max(1, Bc // bo)
+            for g0 in range(0, len(pend_idx), per_call):
+                group = pend_idx[g0 : g0 + per_call]
+                rows: list[int] = []
+                for s_i in group:
+                    rows.extend([s_i] * bo)
+                rows.extend([group[0]] * (Bc - len(rows)))  # pad rows (ignored)
+                idx = np.asarray(rows)
+                key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
+                out = retry_fn(self.params, suppress, mels[idx], prompt[idx],
+                               prompt_len[idx], sot_index[idx],
+                               jnp.asarray(temps[idx]), key)
+                tokens = np.asarray(out["tokens"])
+                n_sampled = np.asarray(out["n_sampled"])
+                avg_lp = np.asarray(out["avg_logprob"])
+                ns_prob = np.asarray(out["no_speech_prob"])
+                for gi, s_i in enumerate(group):
+                    cand_rows = range(gi * bo, (gi + 1) * bo)
+                    best_row = max(cand_rows, key=lambda r: avg_lp[r])
+                    _settle(s_i, _candidate(tokens, n_sampled, avg_lp, ns_prob,
+                                            best_row, temps[s_i]), attempt)
         # anything still pending keeps its last attempt
         for b in range(B):
             if results[b] is None:
-                text = self.tokenizer.decode(tokens[b, : n_sampled[b]])
-                results[b] = dict(tokens=tokens[b], n_sampled=int(n_sampled[b]), text=text,
-                                  avg_logprob=float(avg_lp[b]), no_speech_prob=float(ns_prob[b]),
-                                  compression_ratio=PP.compression_ratio(text),
-                                  temperature=float(temps[b]))
+                results[b] = last_attempt[b]
         METRICS.observe("asr_decode_window_seconds", time.perf_counter() - t_start)
         return results
 
@@ -502,6 +536,7 @@ class WhisperEngine(AsrEngine):
             segments.append(TranscribeSegment(text=text, speaker_id=speaker,
                                               start=s["start"], end=s["end"],
                                               words=s.get("words")))
+        segments = self._merge_short_segments(segments, params.min_segment_length)
         if params.stream_mode and segments:
             # reference keeps only the final segment in stream mode
             # (whisper.rs:107-117)
@@ -509,6 +544,37 @@ class WhisperEngine(AsrEngine):
             return TranscribeResult(segments=[last], full_text=last.text, language=language)
         full_text = "".join(s.text for s in segments)
         return TranscribeResult(segments=segments, full_text=full_text, language=language)
+
+    @staticmethod
+    def _merge_short_segments(segments: list[TranscribeSegment],
+                              min_len: int) -> list[TranscribeSegment]:
+        """AsrParams.min_segment_length: segments whose text is shorter than
+        min_len characters are merged into the adjacent same-speaker segment
+        (no text is ever dropped). The reference DECLARES this knob
+        (src/asr/mod.rs:14, default 10; gRPC sets 5 at handlers/asr.rs:157)
+        but never consumes it — these are the natural semantics."""
+        min_len = max(0, int(min_len))
+        if min_len <= 1 or len(segments) <= 1:
+            return segments
+
+        def absorb(dst: TranscribeSegment, src: TranscribeSegment) -> None:
+            dst.text += src.text
+            dst.end = max(dst.end, src.end)
+            if dst.words is not None or src.words is not None:
+                dst.words = (dst.words or []) + (src.words or [])
+
+        merged: list[TranscribeSegment] = []
+        for s in segments:
+            if (merged and len(merged[-1].text.strip()) < min_len
+                    and merged[-1].speaker_id == s.speaker_id):
+                absorb(merged[-1], s)
+            else:
+                merged.append(s)
+        if (len(merged) > 1 and len(merged[-1].text.strip()) < min_len
+                and merged[-2].speaker_id == merged[-1].speaker_id):
+            last = merged.pop()
+            absorb(merged[-1], last)
+        return merged
 
     # ----------------------------------------------------- AsrEngine surface
 

@@ -25,7 +25,7 @@ def engine():
 
     params = init_params(TINY_DIMS, jax.random.PRNGKey(0))
     tok = Tokenizer.synthetic(TINY_DIMS.n_vocab)
-    cfg = EngineConfig(compute_dtype="float32", max_batch_size=4)
+    cfg = EngineConfig(compute_dtype="float32", max_batch_size=4, best_of=1)
     return WhisperEngine(params, TINY_DIMS, tok, config=cfg)
 
 

@@ -22,7 +22,9 @@ def engine():
 
     params = init_params(TINY_DIMS, jax.random.PRNGKey(0))
     tok = Tokenizer.synthetic(TINY_DIMS.n_vocab)
-    cfg = EngineConfig(compute_dtype="float32")
+    # best_of=1: random weights trip the fallback thresholds on every slot,
+    # and best-of-N retries would multiply CPU decode calls in these tests
+    cfg = EngineConfig(compute_dtype="float32", best_of=1)
     return WhisperEngine(params, TINY_DIMS, tok, config=cfg, name="test-tiny")
 
 
@@ -111,3 +113,57 @@ def test_transcribe_audio_vad(engine):
     for s in res.segments:
         # all segments lie inside voiced spans (± VAD padding)
         assert (1.5 <= s.start <= 3.5) or (4.5 <= s.start <= 6.5), s.start
+
+
+def test_best_of_candidate_sampling(rng):
+    """At t>0 the engine must decode best_of candidate rows per pending slot
+    and keep the best avg_logprob one (reference greedy best_of=5,
+    whisper.rs:132-141). Random weights always trip the fallback, so one
+    window forces the retry path; the candidate program batch is
+    max(B, best_of) rows."""
+    import jax
+
+    params = init_params(TINY_DIMS, jax.random.PRNGKey(0))
+    tok = Tokenizer.synthetic(TINY_DIMS.n_vocab)
+    cfg = EngineConfig(compute_dtype="float32", best_of=3)
+    eng = WhisperEngine(params, TINY_DIMS, tok, config=cfg)
+    mel = eng.compute_mel((rng.standard_normal(16000) * 0.1).astype(np.float32))
+    res = eng.decode_windows(mel, "en", max_new_tokens=16)[0]
+    assert res["temperature"] > 0.0  # fallback fired
+    # the candidate bucket (batch=3) was compiled and used
+    assert any(k[0] == "win" and k[1] == 3 for k in eng._jit_cache), \
+        list(eng._jit_cache)
+
+
+def test_min_segment_length_merges_short_segments(engine):
+    from speaksense_tpu.asr import TranscribeSegment
+
+    segs = [
+        TranscribeSegment(text="Hi.", speaker_id=0, start=0.0, end=0.5),
+        TranscribeSegment(text=" there, this is long enough.", speaker_id=0,
+                          start=0.5, end=2.0),
+        TranscribeSegment(text=" Also a long trailing segment here.",
+                          speaker_id=0, start=2.0, end=4.0),
+    ]
+    merged = WhisperEngine._merge_short_segments(segs, 10)
+    assert len(merged) == 2
+    assert merged[0].text == "Hi. there, this is long enough."
+    assert merged[0].start == 0.0 and merged[0].end == 2.0
+
+    # trailing short segment merges backward
+    segs2 = [
+        TranscribeSegment(text="A full length first segment.", speaker_id=0,
+                          start=0.0, end=2.0),
+        TranscribeSegment(text=" ok", speaker_id=0, start=2.0, end=2.2),
+    ]
+    merged2 = WhisperEngine._merge_short_segments(segs2, 10)
+    assert len(merged2) == 1
+    assert merged2[0].text.endswith(" ok") and merged2[0].end == 2.2
+
+    # never merge across speaker turns
+    segs3 = [
+        TranscribeSegment(text="Hi", speaker_id=0, start=0.0, end=0.5),
+        TranscribeSegment(text="Welcome to the show today", speaker_id=1,
+                          start=0.5, end=2.0),
+    ]
+    assert len(WhisperEngine._merge_short_segments(segs3, 10)) == 2
