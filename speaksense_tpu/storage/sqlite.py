@@ -77,6 +77,21 @@ CREATE TABLE IF NOT EXISTS api_key_stats (
 )
 """
 
+# Side table for the 30-day per-day request history. The reference keeps
+# this map only in memory (auth/stats.rs:38-49) and loses it on every DB
+# round-trip — its Model->ApiKeyStats conversion rebuilds the map from
+# today's counter alone (key/mod.rs:92-104), so GET /usage returns one day.
+# A separate table keeps api_key_stats DDL byte-identical (drop-in DB
+# compat) while making the history durable.
+_KEY_DAILY_DDL = """
+CREATE TABLE IF NOT EXISTS api_key_daily_usage (
+    key TEXT NOT NULL,
+    date TEXT NOT NULL,
+    requests INTEGER NOT NULL DEFAULT 0,
+    PRIMARY KEY (key, date)
+)
+"""
+
 
 def _dt_to_db(dt: _dt.datetime | None) -> str | None:
     if dt is None:
@@ -308,6 +323,7 @@ class SqliteKeyStorage(_SqliteBase, KeyStorage, ApiKeyStatsStorage):
         with self._lock:
             self._conn.execute(_KEYS_DDL)
             self._conn.execute(_KEY_STATS_DDL)
+            self._conn.execute(_KEY_DAILY_DDL)
             self._conn.commit()
 
     # -- KeyStorage ----------------------------------------------------------
@@ -349,6 +365,7 @@ class SqliteKeyStorage(_SqliteBase, KeyStorage, ApiKeyStatsStorage):
         with self._lock:
             self._conn.execute("DELETE FROM api_keys WHERE key = ?", (api_key,))
             self._conn.execute("DELETE FROM api_key_stats WHERE key = ?", (api_key,))
+            self._conn.execute("DELETE FROM api_key_daily_usage WHERE key = ?", (api_key,))
             self._conn.commit()
 
     def list(self) -> list[ApiKeyInfo]:
@@ -373,17 +390,28 @@ class SqliteKeyStorage(_SqliteBase, KeyStorage, ApiKeyStatsStorage):
                 "FROM api_key_stats WHERE key = ?", (api_key,)).fetchone()
         if not row:
             return None
-        today, last, total = row
-        stats = ApiKeyStats(total_requests=int(total), requests_today=int(today))
+        today_count, last, total = row
+        today = _dt.datetime.now(_dt.timezone.utc).date().isoformat()
+        with self._lock:
+            daily = self._conn.execute(
+                "SELECT date, requests FROM api_key_daily_usage WHERE key = ? "
+                "ORDER BY date", (api_key,)).fetchall()
+        if daily:
+            per_day = {d: int(n) for d, n in daily}
+            today_count = per_day.get(today, 0)
+        else:  # pre-history DBs: reference behavior (key/mod.rs:92-104)
+            per_day = {today: int(today_count)}
+        stats = ApiKeyStats(total_requests=int(total),
+                            requests_today=int(today_count))
         if last:
             stats.last_used_at = _dt_from_db(last)
-        # per-day map rebuilt from today's counter (key/mod.rs:92-104)
-        stats.requests_per_day = {
-            _dt.datetime.now(_dt.timezone.utc).date().isoformat(): int(today)}
+        stats.requests_per_day = per_day
         return stats
 
     def update_stats(self, api_key: str, stats: ApiKeyStats) -> None:
-        now = _dt_to_db(_dt.datetime.now(_dt.timezone.utc))
+        now_dt = _dt.datetime.now(_dt.timezone.utc)
+        now = _dt_to_db(now_dt)
+        cutoff = (now_dt - _dt.timedelta(days=30)).date().isoformat()
         with self._lock:
             self._conn.execute(
                 "INSERT INTO api_key_stats (key, requests_today, requests_this_hour, "
@@ -394,4 +422,15 @@ class SqliteKeyStorage(_SqliteBase, KeyStorage, ApiKeyStatsStorage):
                 "total_requests=excluded.total_requests, updated_at=excluded.updated_at",
                 (api_key, stats.requests_today, _dt_to_db(stats.last_used_at),
                  stats.total_requests, now))
+            # durable 30-day history (pruned like ApiKeyStats.update,
+            # auth/stats.rs:46-48)
+            for date, n in stats.requests_per_day.items():
+                if date >= cutoff:
+                    self._conn.execute(
+                        "INSERT INTO api_key_daily_usage (key, date, requests) "
+                        "VALUES (?,?,?) ON CONFLICT(key, date) DO UPDATE SET "
+                        "requests=excluded.requests", (api_key, date, int(n)))
+            self._conn.execute(
+                "DELETE FROM api_key_daily_usage WHERE key = ? AND date < ?",
+                (api_key, cutoff))
             self._conn.commit()

@@ -188,3 +188,48 @@ def test_stats_upsert(key_store):
     got = key_store.get_stats("key-1")
     assert got.total_requests == 2
     assert key_store.get_stats("missing") is None
+
+
+def test_per_day_usage_history_persists(tmp_path):
+    """30-day per-day request history survives DB round-trips (the reference
+    rebuilds the map from today's counter only, key/mod.rs:92-104; VERDICT
+    r1 item 7 asks for durable history)."""
+    import datetime as dt
+
+    from speaksense_tpu.auth.types import ApiKeyStats
+
+    store = SqliteKeyStorage(tmp_path / "keys.db")
+    try:
+        today = dt.datetime.now(dt.timezone.utc).date()
+        stats = ApiKeyStats()
+        # simulate a week of history plus an over-30-day entry to prune
+        for back in (0, 1, 2, 6):
+            stats.requests_per_day[(today - dt.timedelta(days=back)).isoformat()] = back + 1
+        stats.requests_per_day[(today - dt.timedelta(days=40)).isoformat()] = 99
+        stats.requests_today = 1
+        stats.total_requests = 10
+        store.update_stats("key-x", stats)
+
+        got = store.get_stats("key-x")
+        assert got is not None
+        assert got.requests_per_day[today.isoformat()] == 1
+        assert got.requests_per_day[(today - dt.timedelta(days=6)).isoformat()] == 7
+        assert len(got.requests_per_day) == 4  # 40-day-old entry pruned
+        assert got.requests_today == 1
+
+        # a second update accumulates without losing history
+        got.update()
+        store.update_stats("key-x", got)
+        again = store.get_stats("key-x")
+        assert again.requests_per_day[today.isoformat()] == 2
+        assert (today - dt.timedelta(days=2)).isoformat() in again.requests_per_day
+
+        # remove() clears the history too
+        store.remove("key-x")
+        assert store.get_stats("key-x") is None
+        import sqlite3
+        assert store._conn.execute(
+            "SELECT COUNT(*) FROM api_key_daily_usage WHERE key='key-x'"
+        ).fetchone()[0] == 0
+    finally:
+        store.close()
