@@ -290,6 +290,21 @@ def _attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array | None)
     return jnp.einsum("...hts,...hsd->...htd", weights, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def _flash_block_sizes(t_padded: int) -> tuple[int, int, int]:
+    """Tuned flash blocks (block_q, block_k_major, block_k) for a 128-multiple
+    sequence length. The kernel's defaults (512/512) measured SLOWER than
+    XLA's fused attention at the encoder shape, but q=768 over the full
+    1536-key major axis beats it 45.8 -> 32.7 ms (B=32, H=20, T=1536,
+    Dh=64 — tools/microbench_encattn.py). Blocks must divide the padded
+    sequence; pick the largest tuned candidates that do."""
+    def _largest(cands, n):
+        return next((c for c in cands if n % c == 0), 128)
+
+    bq = _largest((768, 512, 256, 128), t_padded)
+    bkm = _largest((1536, 768, 512, 256, 128), t_padded)
+    return bq, bkm, min(bkm, 768)
+
+
 def _flash_attention_full(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Unmasked self-attention via the Pallas TPU flash kernel: (B, H, T, Dh),
     O(T) memory instead of materializing (B, H, T, T) logits in HBM — the
@@ -313,17 +328,7 @@ def _flash_attention_full(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array
     else:
         seg = None
 
-    # Tuned block sizes: the kernel's defaults (512/512) measured SLOWER
-    # than XLA's fused attention at the encoder shape, but q=768 over the
-    # full 1536-key major axis beats it 45.8 -> 32.7 ms (B=32, H=20,
-    # T=1536, Dh=64 — tools/microbench_encattn.py). Blocks must divide the
-    # padded sequence; pick the largest tuned candidates that do.
-    def _largest(cands, n):
-        return next((c for c in cands if n % c == 0), 128)
-
-    bq = _largest((768, 512, 256, 128), Tp)
-    bkm = _largest((1536, 768, 512, 256, 128), Tp)
-    bk = min(bkm, 768)
+    bq, bkm, bk = _flash_block_sizes(Tp)
     bs = BlockSizes(block_q=bq, block_k_major=bkm, block_k=bk, block_b=1)
     out = flash_attention(q, k, v, segment_ids=seg, causal=False,
                           sm_scale=q.shape[-1] ** -0.5, block_sizes=bs)
@@ -380,7 +385,9 @@ def encode(params: Params, dims: WhisperDims, mel: jax.Array, n_ctx_out: int | N
                 platform = jax.devices()[0].platform
             except Exception:  # pragma: no cover
                 platform = "cpu"
-            flash = platform != "cpu" and t >= 1024
+            # the imported kernel is pallas.ops.tpu — TPU-only; on GPU the
+            # XLA path is the correct default (ADVICE r1)
+            flash = platform == "tpu" and t >= 1024
 
     n_head = dims.n_audio_head
 
