@@ -142,6 +142,9 @@ def beam_decode(params: Params, dims: W.WhisperDims, cfg: RuleConfig,
     # axis capped at the actual token budget (gather-free now, but the
     # attention still reads the full static axis every step).
     t_cap = min(dims.n_text_ctx, -(-(P + L) // 128) * 128)
+    # the chunk flush DUS at offset P + fill would clamp and overwrite
+    # earlier KV columns if the budget exceeded the cache axis (ADVICE r1)
+    assert P + L <= t_cap, (P, L, t_cap)
     cache = W.init_cache(dims, B * K, A, dtype=dtype, t_text=t_cap)
     rep = lambda x: jnp.repeat(x, K, axis=1)
     if cross_kv_int8:

@@ -249,6 +249,10 @@ def transcribe_window(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mas
     # axis, so a 448-position cache spends ~43% of its self-KV bandwidth on
     # positions this window can never write (prompt 3 + 224 new -> 256).
     t_cap = min(dims.n_text_ctx, -(-(P + cfg.max_new_tokens) // 128) * 128)
+    # fill-layout packs generated KV at [P, P + step): the whole budget must
+    # fit the cache axis or the flush DUS would clamp and corrupt earlier
+    # columns (ADVICE r1)
+    assert P + cfg.max_new_tokens <= t_cap, (P, cfg.max_new_tokens, t_cap)
     cache = W.init_cache(dims, mel.shape[0], enc.shape[1],
                          dtype=params["decoder"]["tok_emb"].dtype,
                          self_kv_int8=self_kv_int8, t_text=t_cap)

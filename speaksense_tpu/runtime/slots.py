@@ -103,6 +103,15 @@ class SlotPool:
         t_text = min(dims.n_text_ctx,
                      ((self.max_prompt + max_new + 127) // 128) * 128)
         assert t_text % ring_width == 0
+        # a slot's live span (prompt + generation) must fit the circular
+        # page, else ages wrap and the oldest prompt KV silently drops out
+        # of attention (ADVICE r1)
+        assert t_text >= self.max_prompt + max_new, \
+            (t_text, self.max_prompt, max_new)
+        # prompt placement's no-wrap invariant: admits happen at W-aligned
+        # gstep and place P columns behind the cursor, so P must fit one
+        # ring window or the DUS would clamp and misplace prompt KV
+        assert self.max_prompt <= ring_width, (self.max_prompt, ring_width)
         # S+1 rows: row S is a SCRATCH slot — batched admissions pad their
         # slot-index vector with S, so dummy rows scatter harmlessly into it
         # (its active flag is always forced False)
