@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test bench serve serve-fake native proto clean
+.PHONY: test bench serve serve-fake native sanitize proto clean
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -22,6 +22,9 @@ serve-fake:
 
 native:
 	$(PY) -c "from speaksense_tpu.native.build import build; print(build(force=True))"
+
+sanitize:  # ASAN+UBSAN and TSAN runs of the native kernels (SURVEY §5)
+	$(PY) -c "from speaksense_tpu.native.build import build_sanitizer as b; b('address'); b('thread'); print('sanitizers clean')"
 
 proto:
 	sh speaksense_tpu/serving/pb/regenerate.sh

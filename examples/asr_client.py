@@ -37,7 +37,7 @@ def request_stream(path: str, device_id: str):
         chunk = pcm16[off : off + CHUNK_SIZE]
         is_last = off + CHUNK_SIZE >= len(pcm16)
         yield asr_pb2.TranscribeRequest(
-            type=asr_pb2.WAV,
+            type=asr_pb2.PCM,
             end=1 if is_last else 0,
             audio=base64.b64encode(chunk),
             device_id=device_id,

@@ -53,6 +53,7 @@ class EngineState:
 
     language: str | None = None
     prev_text: str = ""
+    context_tokens: list = field(default_factory=list)  # stream conditioning
     lock: threading.Lock = field(default_factory=threading.Lock)
 
 
@@ -593,7 +594,8 @@ class WhisperEngine(AsrEngine):
             if params.language is None and state.language:
                 params = AsrParams(**{**params.__dict__, "language": state.language})
             if params.stream_mode:
-                result = self._transcribe_stream_chunk(audio, params, decode_window)
+                result = self._transcribe_stream_chunk(audio, params, decode_window,
+                                                       state=state)
             else:
                 result = self.transcribe_audio(np.asarray(audio, np.float32), params,
                                                decode_window)
@@ -602,18 +604,29 @@ class WhisperEngine(AsrEngine):
 
     def enable_slot_serving(self, n_slots: int | None = None,
                             t_mel: int = 512, max_new: int = 96,
-                            int8_kv: bool | None = None) -> None:
+                            int8_kv: bool | None = None,
+                            max_prompt: int = 16) -> None:
         """Route streaming chunks through the token-level slot pool
         (runtime/slots.py): concurrent gRPC streams then join/leave the
         decode batch at token granularity instead of window granularity.
         int8_kv defaults to the engine's cross_kv_int8 config (int8 pools
-        halve KV HBM — 64 large-v3 slots on one 16 GB chip)."""
+        halve KV HBM — 64 large-v3 slots on one 16 GB chip).
+
+        max_prompt=16 fits plain SOT prompts; raise to e.g. 64 so pooled
+        streams carry previous-text conditioning (the price is a larger
+        per-slot KV page, i.e. more self-KV read per step).
+
+        NOTE the pool serves ONE mel bucket (t_mel): a stream chunk whose
+        frame bucket differs (e.g. a >10 s chunk bucketing to 1024) falls
+        back to the window batcher — correct but slower; size chunk_bytes
+        to the bucket when using slot serving."""
         from speaksense_tpu.runtime.slots import StreamingDecodeServer
 
         self._slot_server = StreamingDecodeServer(
             self, n_slots=n_slots or self.config.stream_slots,
             t_mel=t_mel, max_new=max_new,
-            int8_kv=self.config.cross_kv_int8 if int8_kv is None else int8_kv)
+            int8_kv=self.config.cross_kv_int8 if int8_kv is None else int8_kv,
+            max_prompt=max_prompt)
 
     def disable_slot_serving(self) -> None:
         server = getattr(self, "_slot_server", None)
@@ -622,26 +635,47 @@ class WhisperEngine(AsrEngine):
             self._slot_server = None
 
     def _transcribe_stream_chunk(self, audio, params: AsrParams,
-                                 decode_window=None) -> TranscribeResult:
+                                 decode_window=None,
+                                 state: EngineState | None = None) -> TranscribeResult:
         """Streaming chunk (~5 s): truncated-encoder bucket, no seek loop."""
         audio = np.asarray(audio, np.float32).reshape(-1)
         n_frames = max(1, audio.size // MEL.HOP_LENGTH)
         bucket = self._mel_bucket(n_frames)
-        mel = self.compute_mel(audio, pad_to=bucket)
         language = params.language or "en"
         # slot serving takes precedence over the window batcher for stream
         # chunks: token-granularity admission beats window coalescing when
         # many streams are mid-decode
         server = getattr(self, "_slot_server", None)
+        if server is not None and bucket != server.pool.t_mel:
+            # documented fallback (see enable_slot_serving): off-bucket
+            # chunks decode through the window batcher instead
+            METRICS.inc("asr_slot_bucket_fallbacks_total")
+            log.debug("stream chunk bucket %d != pool bucket %d; window path",
+                      bucket, server.pool.t_mel)
         if server is not None and bucket == server.pool.t_mel:
-            raw = server.submit(np.asarray(mel)[0], language=language,
-                                task=params.task).result()
+            # previous-text conditioning rides the admission prompt when the
+            # pool was built with max_prompt > the SOT length (VERDICT r1
+            # item 9); 16-token pools send no context
+            context = None
+            if (state is not None and params.condition_on_previous_text
+                    and server.pool.max_prompt > 16):
+                context = list(state.context_tokens) or None
+            # raw audio in, mel fused into the admission program — no
+            # separate mel dispatch, no mel device->host->device round trip
+            raw = server.submit_audio(audio, language=language,
+                                      task=params.task, context=context).result()
             window_dur = audio.size / SAMPLE_RATE
             segs, _ = D.segments_from_tokens(raw["tokens"], raw["n_sampled"], self.tokenizer)
             for s in segs:
                 s["end"] = min(s["end"], window_dur)
                 s["start"] = min(s["start"], s["end"])
+            if state is not None:
+                text_toks = [int(t) for t in raw["tokens"][: raw["n_sampled"]]
+                             if t < self.tokenizer.eot]
+                cap = server.pool.max_prompt
+                state.context_tokens = (state.context_tokens + text_toks)[-cap:]
             return self._postprocess(segs, params, language)
+        mel = self.compute_mel(audio, pad_to=bucket)
         if decode_window is None:
             decode_window = (lambda mel, lang, task, sns:
                              self.decode_windows(

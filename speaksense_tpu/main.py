@@ -61,7 +61,7 @@ def build_context(config: Config, engine):
 
 
 async def serve(config: Config, fake_engine: bool = False,
-                slot_serving: bool = False) -> None:
+                slot_serving: bool = False, slot_prompt: int = 16) -> None:
     from speaksense_tpu.registry.etcd import EtcdRegistry
     from speaksense_tpu.serving.grpc_server import GrpcServer
     from speaksense_tpu.serving.rest import start_server
@@ -80,7 +80,7 @@ async def serve(config: Config, fake_engine: bool = False,
     engine = build_engine(config, fake=fake_engine)
     inner = getattr(engine, "engine", engine)
     if slot_serving and hasattr(inner, "enable_slot_serving"):
-        inner.enable_slot_serving()
+        inner.enable_slot_serving(max_prompt=slot_prompt)
     ctx, scheduler = build_context(config, engine)
 
     registry = EtcdRegistry(config.etcd_endpoint)
@@ -144,6 +144,11 @@ def main() -> None:
                         help="route streaming chunks through the token-level "
                              "slot pool (runtime/slots.py) instead of the "
                              "window batcher")
+    parser.add_argument("--slot-prompt", type=int, default=16,
+                        help="slot-pool prompt budget in tokens (default 16 "
+                             "= plain SOT; 64 lets pooled streams carry "
+                             "previous-text conditioning at the cost of a "
+                             "larger per-slot KV page)")
     args = parser.parse_args()
 
     config = Config.from_env()
@@ -164,7 +169,8 @@ def main() -> None:
 
     logsetup.init(config.log_dir)
     asyncio.run(serve(config, fake_engine=args.fake_engine,
-                      slot_serving=args.slot_serving))
+                      slot_serving=args.slot_serving,
+                      slot_prompt=args.slot_prompt))
 
 
 if __name__ == "__main__":

@@ -37,3 +37,26 @@ def build(force: bool = False) -> Path | None:
         err = getattr(e, "stderr", b"") or b""
         log.warning("native build failed (falling back to numpy): %s", err[-400:])
         return None
+
+
+def build_sanitizer(kind: str = "address") -> Path | None:
+    """Build + run the sanitizer harness (sanitize_test.cc) against the
+    kernels. kind: 'address' (ASAN+UBSAN) or 'thread' (TSAN). Returns the
+    binary path on a clean run, raises on sanitizer findings, None if g++
+    is unavailable. SURVEY.md §5: TSAN/ASAN-clean in CI."""
+    gxx = shutil.which("g++")
+    if gxx is None:
+        log.info("g++ not found; sanitizer run skipped")
+        return None
+    san = "address,undefined" if kind == "address" else "thread"
+    out = SRC_DIR / f"sanitize_{kind}"
+    cmd = [gxx, f"-fsanitize={san}", "-g", "-O1", "-std=c++17", "-pthread",
+           str(SRC_DIR / "ggml_kernels.cc"), str(SRC_DIR / "sanitize_test.cc"),
+           "-o", str(out)]
+    subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    run = subprocess.run([str(out)], capture_output=True, timeout=300)
+    if run.returncode != 0:
+        raise RuntimeError(
+            f"{kind} sanitizer run failed:\n"
+            f"{run.stdout.decode()[-1000:]}\n{run.stderr.decode()[-3000:]}")
+    return out

@@ -12,7 +12,9 @@ from speaksense_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     param_shardings,
     cache_shardings,
+    pool_state_shardings,
     shard_params,
+    shard_pool_state,
 )
 from speaksense_tpu.parallel.multihost import (  # noqa: F401
     init_distributed,

@@ -59,6 +59,8 @@ class EtcdRegistry(Registry):
         self.lease_id: int | None = None
         self.key: str | None = None
         self._hb_task: asyncio.Task | None = None
+        self._service_info: dict | None = None  # for lease-loss re-register
+        self.reregistrations = 0
 
     async def _post(self, path: str, payload: dict) -> dict:
         async with aiohttp.ClientSession(timeout=self.timeout) as sess:
@@ -67,6 +69,7 @@ class EtcdRegistry(Registry):
                 return await resp.json()
 
     async def register(self, service_info: dict) -> None:
+        self._service_info = service_info
         grant = await self._post("/v3/lease/grant", {"TTL": str(self.lease_ttl), "ID": "0"})
         self.lease_id = int(grant["ID"])
         node_id = service_info["nodes"][0]["id"]
@@ -104,12 +107,23 @@ class EtcdRegistry(Registry):
 
     async def _heartbeat_loop(self) -> None:
         """3 s lease keep-alive (etcd.rs:89-122). A missed beat is logged and
-        retried; if the lease expires, the registration lapses (liveness)."""
+        retried; when the lease has EXPIRED (an etcd outage longer than the
+        TTL — the keepalive then reports TTL 0), the node re-registers with
+        a fresh lease instead of heartbeating a dead one forever (the
+        reference never recovers from this, VERDICT r1 item 10)."""
         while True:
             await asyncio.sleep(self.heartbeat_interval)
             if self.lease_id is None:
                 continue
             try:
-                await self._post("/v3/lease/keepalive", {"ID": str(self.lease_id)})
+                resp = await self._post("/v3/lease/keepalive",
+                                        {"ID": str(self.lease_id)})
+                result = resp.get("result", resp)
+                ttl = int(result.get("TTL", 0) or 0)
+                if ttl <= 0 and self._service_info is not None:
+                    log.warning("etcd lease %x expired; re-registering",
+                                self.lease_id)
+                    await self.register(self._service_info)
+                    self.reregistrations += 1
             except Exception as e:
                 log.warning("etcd keepalive failed: %s", e)

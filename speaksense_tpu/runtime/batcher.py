@@ -67,9 +67,12 @@ class BatchedEngine(AsrEngine):
 
     # ------------------------------------------------------------- batching
 
-    def submit_window(self, mel: np.ndarray, language: str | None, task: str,
+    def submit_window(self, mel, language: str | None, task: str,
                       suppress_non_speech: bool, context: list | None = None) -> Future:
-        job = _WindowJob(np.asarray(mel), language, task, suppress_non_speech, context)
+        """mel: (T_mel, n_mels), numpy OR device array — device arrays are
+        kept on device (compute_mel output would otherwise round-trip
+        through the host, ~1.5 MB each way per 30 s window on the relay)."""
+        job = _WindowJob(mel, language, task, suppress_non_speech, context)
         self._queue.put(job)
         return job.future
 
@@ -77,7 +80,6 @@ class BatchedEngine(AsrEngine):
                        context=None) -> dict:
         """decode_window hook for WhisperEngine.transcribe_audio: one window
         through the shared batch."""
-        mel = np.asarray(mel)
         if mel.ndim == 3:
             mel = mel[0]
         return self.submit_window(mel, language, task, suppress_non_speech,
@@ -109,11 +111,15 @@ class BatchedEngine(AsrEngine):
 
     def _run_batch(self, batch: list[_WindowJob]) -> None:
         try:
-            mels = np.stack([j.mel for j in batch])
+            import jax.numpy as jnp
+
+            # device-side stack: numpy mels upload once, device mels stay put
+            mels = jnp.stack([jnp.asarray(j.mel) for j in batch])
             # pad to the full bucket so every occupancy shares one program
             pad = self.max_batch - len(batch)
             if pad > 0:
-                mels = np.concatenate([mels, np.zeros((pad,) + mels.shape[1:], mels.dtype)])
+                mels = jnp.concatenate(
+                    [mels, jnp.zeros((pad,) + mels.shape[1:], mels.dtype)])
             langs = [j.language for j in batch] + ["en"] * pad
             contexts = [j.context or [] for j in batch] + [[]] * pad
             results = self.engine.decode_windows(

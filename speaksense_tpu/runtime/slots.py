@@ -52,10 +52,11 @@ _KV_KEYS = ("self_k", "self_v", "cross_k", "cross_v",
 
 @dataclass
 class _StreamJob:
-    mel: np.ndarray                  # (T_mel, n_mels) — one window
-    prompt: list[int]
+    mel: np.ndarray                  # (T_mel, n_mels) mel — or raw audio
+    prompt: list[int]                # (t_mel*HOP,) f32 when is_audio
     future: Future = field(default_factory=Future)
     slot: int = -1
+    is_audio: bool = False
 
 
 class SlotPool:
@@ -63,7 +64,8 @@ class SlotPool:
 
     def __init__(self, engine, n_slots: int, t_mel: int, max_new: int,
                  with_timestamps: bool = True, int8_kv: bool = False,
-                 self_int8: bool = False, ring_width: int = 16):
+                 self_int8: bool = False, ring_width: int = 16,
+                 max_prompt: int = 16):
         """int8_kv: int8 CROSS-attention KV pages (read-only after admission
         — pure byte saving). self_int8: int8 SELF-KV pages too; this forces
         the legacy per-slot write path (the ring stores bf16 rows), so it is
@@ -93,13 +95,14 @@ class SlotPool:
         S, dims = self.S, self.dims
         # t_text: decode positions sized to the generation budget (prompt +
         # max_new), lane-aligned — a 96-token streaming pool reads 3.5x less
-        # self-KV per step than the full 448-position cache. Prompt allowance
-        # is 16 (pool prompts are 3-4-token SOT sequences; admit_many
-        # asserts). Ring mode uses CIRCULAR pages — column = global step
-        # cursor mod T — which needs T >= max_prompt + max_new (a slot's
-        # live span) and T % ring_width == 0 (chunk flushes stay aligned,
-        # never wrapping mid-window).
-        self.max_prompt = 16
+        # self-KV per step than the full 448-position cache. The default
+        # prompt allowance (16) fits plain SOT sequences; raise max_prompt
+        # (e.g. 64) so pooled streams can carry previous-text conditioning —
+        # the price is a larger t_text, i.e. more self-KV per step. Ring
+        # mode uses CIRCULAR pages — column = global step cursor mod T —
+        # which needs T >= max_prompt + max_new (a slot's live span) and
+        # T % ring_width == 0 (chunk flushes stay aligned).
+        self.max_prompt = max_prompt
         t_text = min(dims.n_text_ctx,
                      ((self.max_prompt + max_new + 127) // 128) * 128)
         assert t_text % ring_width == 0
@@ -108,10 +111,6 @@ class SlotPool:
         # of attention (ADVICE r1)
         assert t_text >= self.max_prompt + max_new, \
             (t_text, self.max_prompt, max_new)
-        # prompt placement's no-wrap invariant: admits happen at W-aligned
-        # gstep and place P columns behind the cursor, so P must fit one
-        # ring window or the DUS would clamp and misplace prompt KV
-        assert self.max_prompt <= ring_width, (self.max_prompt, ring_width)
         # S+1 rows: row S is a SCRATCH slot — batched admissions pad their
         # slot-index vector with S, so dummy rows scatter harmlessly into it
         # (its active flag is always forced False)
@@ -168,19 +167,32 @@ class SlotPool:
 
     # ---------------------------------------------------------------- jitted
 
-    def _build_admit(self, n: int, prompt_len: int):
+    def _build_admit(self, n: int, prompt_len: int, from_audio: bool = False):
         """Batched admission: encode + cross-KV + prefill for n windows in
         ONE program, scattered into n pool slots. Dummy rows (padding a
         partial bucket) carry slot index S — the scratch row — and
         valid=False; their writes land harmlessly and scratch never
         activates. One dispatch instead of n means ONE whole-pool state copy
         (donation does not alias on the remote backend) and a batched
-        encode/prefill."""
+        encode/prefill.
+
+        from_audio fuses the log-mel transform INTO the admission program:
+        the host uploads raw PCM once and the mel never round-trips through
+        the relay (the separate compute_mel dispatch cost a device->host
+        fetch + re-upload of ~330 KB per chunk on the remote backend — the
+        single biggest serving-path overhead found by BENCH_MODE=serve)."""
         dims, cfg = self.dims, self.cfg
         S = self.S
 
         def admit(params, state, mel, slots, prompts, plen, valid):
-            # mel (n, t_mel, n_mels); slots/plen/valid (n,); prompts (n, P)
+            # mel (n, t_mel, n_mels) — or raw audio (n, t_mel*HOP) when
+            # from_audio; slots/plen/valid (n,); prompts (n, P)
+            if from_audio:
+                from speaksense_tpu.audio import mel as MEL
+
+                mel = MEL.log_mel_spectrogram(
+                    mel, n_mels=dims.n_mels, filters=self.engine.mel_filters,
+                    pad_to_chunk=False)
             enc = W.encode(params, dims, mel, n_ctx_out=self.n_audio_ctx)
             cache1 = W.init_cache(dims, n, enc.shape[1], dtype=self.engine.dtype,
                                   self_kv_int8=self.self_int8,
@@ -201,20 +213,31 @@ class SlotPool:
             if not self.self_int8:
                 # circular pages: the prompt block [0, P) must land at global
                 # columns [(gstep - P) % T, gstep) — virtually written at the
-                # P steps before the cursor. This window never wraps: gstep
-                # is W-aligned (admissions only happen with the ring empty)
-                # and P <= max_prompt <= W, so shift + P <= T always — one
-                # plain DUS of the prompt slice places it (jnp.roll with a
-                # traced shift lowers to a slow gather).
+                # P steps before the cursor. For P <= ring_width the window
+                # never wraps (gstep is W-aligned, admissions only at ring-
+                # empty), so ONE plain DUS places it (jnp.roll with a traced
+                # shift lowers to a slow gather). Conditioning prompts
+                # (P > W) CAN wrap; place into a T+P-wide scratch and fold
+                # the overflow back to column 0 — still static shapes, two
+                # slices + one add, and the two regions never overlap
+                # (shift + P - T <= shift since P <= T).
                 T = cache1["self_k"].shape[-1]
                 P_len = prompts.shape[1]
                 shift = jnp.mod(state["gstep"] - P_len, T)
 
-                def place(page):
-                    z = jnp.zeros((), jnp.int32)
-                    return jax.lax.dynamic_update_slice(
-                        jnp.zeros_like(page), page[..., :P_len],
-                        (z, z, z, z, shift))
+                if P_len <= self.ring_width:
+                    def place(page):
+                        z = jnp.zeros((), jnp.int32)
+                        return jax.lax.dynamic_update_slice(
+                            jnp.zeros_like(page), page[..., :P_len],
+                            (z, z, z, z, shift))
+                else:
+                    def place(page):
+                        z = jnp.zeros((), jnp.int32)
+                        buf = jnp.zeros(page.shape[:-1] + (T + P_len,), page.dtype)
+                        buf = jax.lax.dynamic_update_slice(
+                            buf, page[..., :P_len], (z, z, z, z, shift))
+                        return buf[..., :T].at[..., :P_len].add(buf[..., T:])
 
                 cache1 = {**cache1,
                           "self_k": place(cache1["self_k"]),
@@ -388,6 +411,12 @@ class SlotPool:
     # prompt_len) pair is one compiled program)
     ADMIT_BUCKETS = (1, 8)
 
+    def _prompt_buckets(self) -> tuple[int, ...]:
+        """Padded-prompt width buckets: 4 covers plain SOT sequences, 16 the
+        timestamped/taskful ones, max_prompt the conditioned rows."""
+        return tuple(sorted({b for b in (4, 16, self.max_prompt)
+                             if b <= self.max_prompt}))
+
     def admit_many(self, jobs: list[_StreamJob]) -> int:
         """Admit up to one bucket's worth of jobs in a single dispatch.
         Returns how many were admitted (0 if the pool is full)."""
@@ -399,12 +428,24 @@ class SlotPool:
         take = min(len(jobs), len(self.free), max(self.ADMIT_BUCKETS))
         if take == 0:
             return 0
+        # one admission program per input kind: don't mix audio- and
+        # mel-carrying jobs in a batch (the caller removes the admitted
+        # PREFIX, so only the leading same-kind run is taken)
+        batch = []
+        for j in jobs[:take]:
+            if j.is_audio != jobs[0].is_audio:
+                break
+            batch.append(j)
+        take = len(batch)
         bucket = next(b for b in self.ADMIT_BUCKETS if b >= take)
-        batch = jobs[:take]
         P = max(len(j.prompt) for j in batch)
         assert P <= self.max_prompt, (
-            f"pool prompts are SOT sequences (<= {self.max_prompt} tokens); "
-            f"got {P} — the circular-page t_text budget assumes this")
+            f"pool prompt of {P} tokens exceeds max_prompt={self.max_prompt}; "
+            f"construct the pool with a larger max_prompt for conditioning")
+        # bucket the padded prompt width so one compiled admit program
+        # serves a range of prompt lengths (plain SOT rows -> the small
+        # bucket; conditioned rows -> the max_prompt bucket)
+        P = next(b for b in self._prompt_buckets() if b >= P)
 
         slots = np.full((bucket,), self.S, np.int32)       # padding -> scratch
         valid = np.zeros((bucket,), bool)
@@ -419,10 +460,11 @@ class SlotPool:
             mel[i] = job.mel
             self.jobs[slot] = job
 
-        key = (bucket, P)
+        key = (bucket, P, batch[0].is_audio)
         fn = self._admit_fns.get(key)
         if fn is None:
-            fn = self._admit_fns[key] = self._build_admit(bucket, P)
+            fn = self._admit_fns[key] = self._build_admit(
+                bucket, P, from_audio=batch[0].is_audio)
         self.state = fn(self.engine.params, self.state, jnp.asarray(mel),
                         jnp.asarray(slots), jnp.asarray(prompts),
                         jnp.asarray(plen), jnp.asarray(valid))
@@ -499,10 +541,10 @@ class StreamingDecodeServer:
     def __init__(self, engine, n_slots: int = 16, t_mel: int = 3000,
                  max_new: int = 128, int8_kv: bool = False,
                  poll_interval: int = 1, steps_per_dispatch: int = 16,
-                 self_int8: bool = False):
+                 self_int8: bool = False, max_prompt: int = 16):
         self.engine = engine
         self.pool = SlotPool(engine, n_slots, t_mel, max_new, int8_kv=int8_kv,
-                             self_int8=self_int8)
+                             self_int8=self_int8, max_prompt=max_prompt)
         # retire finished slots every N dispatches: each retirement check is
         # a device->host fetch, i.e. a full round trip on remote backends
         self.poll_interval = max(1, poll_interval)
@@ -518,9 +560,42 @@ class StreamingDecodeServer:
         self.steps_run = 0
 
     def submit(self, mel: np.ndarray, language: str | None = "en",
-               task: str = "transcribe") -> Future:
-        prompt = self.engine.tokenizer.sot_sequence(language or "en", task=task)
+               task: str = "transcribe",
+               context: list[int] | None = None) -> Future:
+        """context: previous-text conditioning tokens. Prepended as
+        [<|startofprev|>] + context[-cap:] + SOT sequence, truncated from
+        the left to the pool's max_prompt budget (16-token pools carry no
+        context; construct with max_prompt=64 for conditioned streaming)."""
+        tok = self.engine.tokenizer
+        sot = list(tok.sot_sequence(language or "en", task=task))
+        prompt = sot
+        cap = self.pool.max_prompt - len(sot) - 1
+        if context and cap > 0:
+            prompt = [tok.sot_prev] + list(context)[-cap:] + sot
         job = _StreamJob(np.asarray(mel), prompt)
+        self._queue.put(job)
+        return job.future
+
+    def submit_audio(self, audio: np.ndarray, language: str | None = "en",
+                     task: str = "transcribe",
+                     context: list[int] | None = None) -> Future:
+        """Submit RAW 16 kHz PCM (preferred over submit() on remote-relay
+        backends): the log-mel transform runs inside the admission program,
+        so the audio uploads once and no mel round-trips device<->host.
+        Audio is padded/truncated to the pool's t_mel bucket."""
+        from speaksense_tpu.audio import mel as MEL
+
+        n = self.pool.t_mel * MEL.HOP_LENGTH
+        a = np.asarray(audio, np.float32).reshape(-1)[:n]
+        if a.size < n:
+            a = np.pad(a, (0, n - a.size))
+        tok = self.engine.tokenizer
+        sot = list(tok.sot_sequence(language or "en", task=task))
+        prompt = sot
+        cap = self.pool.max_prompt - len(sot) - 1
+        if context and cap > 0:
+            prompt = [tok.sot_prev] + list(context)[-cap:] + sot
+        job = _StreamJob(a, prompt, is_audio=True)
         self._queue.put(job)
         return job.future
 

@@ -24,7 +24,9 @@ import grpc
 
 from speaksense_tpu.asr import AsrEngine
 from speaksense_tpu.serving.pb import asr_pb2
-from speaksense_tpu.serving.stream import StreamEvent, StreamSession
+from speaksense_tpu.serving.stream import (
+    StreamEvent, StreamSession, UnsupportedStreamFormat,
+)
 
 log = logging.getLogger(__name__)
 
@@ -45,28 +47,50 @@ class AsrService:
     """The Asr service implementation (reference AsrService,
     src/grpc/handlers/asr.rs:20-138)."""
 
-    def __init__(self, engine: AsrEngine, language: str = "zh", denoise: bool = True):
+    def __init__(self, engine: AsrEngine, language: str = "zh", denoise: bool = True,
+                 executor=None):
         self.engine = engine
         self.language = language
         self.denoise = denoise
+        # Dedicated pool for blocking session work: a feed() blocks its
+        # thread on the decode future, so the pool must hold >= one thread
+        # per concurrent stream or streams queue BEHIND the thread pool
+        # instead of inside the batching engine (asyncio.to_thread's default
+        # pool caps at ~32, which would halve 64-slot occupancy).
+        if executor is None:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            executor = ThreadPoolExecutor(
+                max_workers=int(os.environ.get("SPEAKSENSE_STREAM_THREADS", "96")),
+                thread_name_prefix="stream-session")
+        self._executor = executor
 
     async def Transcribe(self, request_iterator, context):
+        loop = asyncio.get_running_loop()
         session: StreamSession | None = None
         try:
             async for req in request_iterator:
                 if session is None:
+                    fmt = asr_pb2.AudioFormat.Name(req.type) \
+                        if req.type in asr_pb2.AudioFormat.values() else "UNKNOWN"
                     session = StreamSession(self.engine, device_id=req.device_id,
-                                            language=self.language, denoise=self.denoise)
-                events = await asyncio.to_thread(session.feed, req.audio, req.device_id)
+                                            language=self.language, denoise=self.denoise,
+                                            audio_format=fmt)
+                events = await loop.run_in_executor(
+                    self._executor, session.feed, req.audio, req.device_id)
                 for ev in events:
                     yield _event_to_response(ev)
                 if req.end == 1:
-                    for ev in await asyncio.to_thread(session.finish):
+                    for ev in await loop.run_in_executor(self._executor, session.finish):
                         yield _event_to_response(ev)
                     return
         except asyncio.CancelledError:
             log.info("stream cancelled by client")
             raise
+        except UnsupportedStreamFormat as e:
+            log.warning("rejected stream: %s", e)
+            await context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
         except Exception as e:
             log.error("stream error: %s", e, exc_info=True)
             await context.abort(grpc.StatusCode.INTERNAL, str(e))

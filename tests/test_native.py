@@ -31,3 +31,22 @@ def test_pcm16_native(rng):
     pcm = (rng.integers(-32768, 32767, 10001)).astype(np.int16)
     got = pcm16_to_f32_native(pcm.tobytes())
     np.testing.assert_allclose(got, pcm.astype(np.float32) / 32768.0, atol=1e-7)
+
+
+import pytest
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind", ["address", "thread"])
+def test_native_kernels_sanitizer_clean(kind, tmp_path):
+    """ASAN+UBSAN and TSAN runs of the native kernels, covering the threaded
+    block paths (SURVEY.md §5 sanitizer bar; VERDICT r1 item 10)."""
+    import shutil as _sh
+
+    from speaksense_tpu.native.build import build_sanitizer
+
+    if _sh.which("g++") is None:
+        pytest.skip("g++ unavailable")
+    out = build_sanitizer(kind)
+    assert out is not None
+    out.unlink(missing_ok=True)  # don't leave binaries in the package dir

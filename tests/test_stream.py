@@ -116,3 +116,82 @@ def test_stream_session_bad_base64_ignored():
     session = StreamSession(engine, denoise=False)
     assert session.feed(b"!!!not-base64!!!") == []
     assert len(session.buffer) == 0
+
+
+# ---------------------------------------------------------- format gating
+
+def _b64(data: bytes) -> bytes:
+    import base64
+
+    return base64.standard_b64encode(data)
+
+
+def _wav_bytes(seconds=0.5, rate=16000, channels=1) -> bytes:
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    n = int(rate * seconds)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.zeros(n * channels, "<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_wav_stream_header_stripped():
+    from speaksense_tpu.asr.fake import FakeAsrEngine
+    from speaksense_tpu.serving.stream import StreamSession
+
+    s = StreamSession(FakeAsrEngine(), language="en", denoise=False,
+                      audio_format="WAV")
+    s.feed(_b64(_wav_bytes(0.5)))
+    # header gone: buffer holds exactly the PCM payload
+    assert len(s.buffer) == int(16000 * 0.5) * 2
+
+
+def test_wav_stream_wrong_rate_rejected():
+    import pytest
+
+    from speaksense_tpu.asr.fake import FakeAsrEngine
+    from speaksense_tpu.serving.stream import (
+        StreamSession, UnsupportedStreamFormat,
+    )
+
+    s = StreamSession(FakeAsrEngine(), language="en", denoise=False,
+                      audio_format="WAV")
+    with pytest.raises(UnsupportedStreamFormat, match="16 kHz mono"):
+        s.feed(_b64(_wav_bytes(0.5, rate=44100, channels=2)))
+
+
+def test_encoded_container_rejected():
+    import pytest
+
+    from speaksense_tpu.asr.fake import FakeAsrEngine
+    from speaksense_tpu.serving.stream import (
+        StreamSession, UnsupportedStreamFormat,
+    )
+
+    s = StreamSession(FakeAsrEngine(), language="en", denoise=False,
+                      audio_format="OGG")
+    with pytest.raises(UnsupportedStreamFormat):
+        s.feed(_b64(b"OggS" + b"\x00" * 100))
+
+
+def test_mistagged_pcm_passes_through():
+    """The reference example client tags AAC but sends PCM
+    (asr_client.rs:176) — bytes that don't look like the tagged container
+    must flow as PCM for wire compat."""
+    import numpy as np
+
+    from speaksense_tpu.asr.fake import FakeAsrEngine
+    from speaksense_tpu.serving.stream import StreamSession
+
+    pcm = (np.ones(16000, "<i2") * 1000).tobytes()
+    s = StreamSession(FakeAsrEngine(), language="en", denoise=False,
+                      audio_format="AAC")
+    s.feed(_b64(pcm))
+    assert len(s.buffer) == len(pcm)

@@ -54,14 +54,19 @@ def test_timestamp_conversion():
 
 
 def test_decode_and_encode_text():
-    vocab = [b"he", b"llo", b" wo", b"rld", b"hello"]
+    # byte alphabet + merge chain (BPE builds tokens bottom-up through the
+    # intermediates, in id order — real GPT-2-family vocabs are laid out
+    # exactly like this)
+    vocab = [bytes([b]) for b in range(256)]
+    vocab += [b"he", b"ll", b"llo", b"hello",      # 256..259
+              b" w", b" wo", b"rl", b"rld"]        # 260..263
     tok = Tokenizer(vocab=vocab, n_vocab=51865, multilingual=True, num_languages=99)
-    assert tok.decode([0, 1, 2, 3]) == "hello world"
-    # greedy longest-match prefers "hello" over "he"+"llo"
-    assert tok.encode_text("hello world") == [4, 2, 3]
+    assert tok.decode([259, 261, 263]) == "hello world"
+    # merge-order BPE: he+ll+o -> hello; " wo"+"rld" stay split (no " world")
+    assert tok.encode_text("hello world") == [259, 261, 263]
     # specials skipped in decode by default
-    assert tok.decode([0, tok.eot, 1]) == "hello"
-    assert "<|endoftext|>" in tok.decode([0, tok.eot], skip_special=False)
+    assert tok.decode([259, tok.eot, 256]) == "hellohe"
+    assert "<|endoftext|>" in tok.decode([259, tok.eot], skip_special=False)
 
 
 def test_language_list_sane():
@@ -92,3 +97,38 @@ def test_speaker_turn_token_detection():
     assert not m[50]
     plain = Tokenizer.synthetic(51865)
     assert plain.speaker_turn_token() is None
+
+
+def test_encode_text_is_merge_order_bpe():
+    """encode_text must follow BPE merge priority (vocab id order), not
+    greedy longest-match: with 'bc' ranked before 'ab', the word 'abc'
+    merges b+c first -> [a, bc] (longest-match would emit [ab, c])."""
+    from speaksense_tpu.models.tokenizer import Tokenizer
+
+    vocab = [bytes([b]) for b in range(256)]       # byte alphabet, ids 0-255
+    vocab += [b"bc", b"ab", b"abc_unused_filler"]  # bc=256 outranks ab=257
+    tok = Tokenizer.from_vocab(vocab)
+    ids = tok.encode_text("abc")
+    assert ids == [ord("a"), 256], ids
+
+
+def test_encode_text_roundtrips_bytes():
+    from speaksense_tpu.models.tokenizer import Tokenizer
+
+    vocab = [bytes([b]) for b in range(256)]
+    vocab += [b"he", b"ll", b"hell", b"o w", b"orld"]
+    tok = Tokenizer.from_vocab(vocab)
+    text = "hello world!"
+    assert tok.decode(tok.encode_text(text)) == text
+
+
+def test_encode_text_respects_word_boundaries():
+    """GPT-2 pre-tokenization: merges never span split-pattern boundaries —
+    'a b' cannot merge into one 'a b' token even if the vocab has it."""
+    from speaksense_tpu.models.tokenizer import Tokenizer
+
+    vocab = [bytes([b]) for b in range(256)]
+    vocab += [b"a b"]
+    tok = Tokenizer.from_vocab(vocab)
+    ids = tok.encode_text("a b")
+    assert 256 not in ids  # words "a" and " b" tokenize separately
