@@ -199,6 +199,15 @@ def bench_serve(model_name: str):
         return walla, latb
 
     wall, latencies = asyncio.run(main_async())
+    pool_stats = {}
+    if use_slots:
+        pool = engine._slot_server.pool
+        pool_stats = {
+            "admit_avg_batch": round(pool.admit_rows / max(1, pool.admit_calls), 2),
+            "avg_occupancy": round(pool.occupancy_sum / max(1, pool.step_calls), 1),
+            "step_calls": pool.step_calls,
+            "admit_calls": pool.admit_calls,
+        }
     if not use_slots:
         serving_engine.stop()
     else:
@@ -219,6 +228,7 @@ def bench_serve(model_name: str):
         "p50_chunk_latency_s": q(0.50),
         "p95_chunk_latency_s": q(0.95),
         "paced_streams": n_streams,
+        **pool_stats,
     }))
 
 

@@ -27,6 +27,8 @@ class AsrParams:
     condition_on_previous_text: bool = True
     suppress_non_speech: bool = False   # reference disables suppression (whisper.rs:152)
     word_timestamps: bool = False
+    denoise: bool = False  # device-side DSP denoise for stream chunks (set by
+    #                        StreamSession when the engine supports it)
 
 
 @dataclass

@@ -628,6 +628,13 @@ class WhisperEngine(AsrEngine):
             int8_kv=self.config.cross_kv_int8 if int8_kv is None else int8_kv,
             max_prompt=max_prompt)
 
+    @property
+    def device_denoise(self) -> bool:
+        """True when stream chunks can run the DSP denoise chain on device
+        (inside the slot-pool admission program) — StreamSession then skips
+        its host-side numpy denoise and sets AsrParams.denoise instead."""
+        return getattr(self, "_slot_server", None) is not None
+
     def disable_slot_serving(self) -> None:
         server = getattr(self, "_slot_server", None)
         if server is not None:
@@ -660,10 +667,12 @@ class WhisperEngine(AsrEngine):
             if (state is not None and params.condition_on_previous_text
                     and server.pool.max_prompt > 16):
                 context = list(state.context_tokens) or None
-            # raw audio in, mel fused into the admission program — no
-            # separate mel dispatch, no mel device->host->device round trip
+            # raw audio in, mel (and denoise when requested) fused into the
+            # admission program — no separate dispatches, no device<->host
+            # round trips
             raw = server.submit_audio(audio, language=language,
-                                      task=params.task, context=context).result()
+                                      task=params.task, context=context,
+                                      denoise=params.denoise).result()
             window_dur = audio.size / SAMPLE_RATE
             segs, _ = D.segments_from_tokens(raw["tokens"], raw["n_sampled"], self.tokenizer)
             for s in segs:
@@ -675,6 +684,12 @@ class WhisperEngine(AsrEngine):
                 cap = server.pool.max_prompt
                 state.context_tokens = (state.context_tokens + text_toks)[-cap:]
             return self._postprocess(segs, params, language)
+        if params.denoise:
+            # off-bucket fallback: the pool would have denoised on device;
+            # honor the request host-side on the window path
+            from speaksense_tpu.audio.dsp import DenoiseConfig, denoise_audio
+
+            audio = denoise_audio(audio, DenoiseConfig(post_gain=1.0))
         mel = self.compute_mel(audio, pad_to=bucket)
         if decode_window is None:
             decode_window = (lambda mel, lang, task, sns:

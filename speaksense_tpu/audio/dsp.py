@@ -228,3 +228,101 @@ def denoise_audio(x: np.ndarray, config: DenoiseConfig | None = None) -> np.ndar
                              config.strength, config.post_gain)
     return wiener_filter(y, config.frame_size, config.overlap,
                          config.strength, config.post_gain)
+
+
+# ---------------------------------------------------------------------------
+# JAX (on-device) denoise — jit-composable mirror of denoise_audio
+# ---------------------------------------------------------------------------
+# Rationale: BENCH_MODE=serve measured host-side denoise at ~1/3 of serving
+# throughput (38.9x -> 57.5x realtime with it off, 64 streams); the FFT work
+# is trivial next to the encoder, so the TPU runs it inside the admission
+# program (audio -> denoise -> log-mel -> encode in ONE dispatch). Semantics
+# mirror the numpy path (same classifier/gains/OLA, f32/complex64); all
+# branches are computed and the per-input branch is selected with
+# jnp.where, which is the jit-able form of the host path's if/elif.
+
+def _denoise_jax_single(x, frame_size: int, overlap: float, strength: float,
+                        post_gain: float):
+    import jax.numpy as jnp
+
+    n = x.shape[0]
+    if n < frame_size:  # too short to frame (numpy path returns input)
+        return x
+    window = jnp.asarray(_hann(frame_size))
+    step = max(1, int(frame_size * (1.0 - overlap)))
+
+    def power_frames(sig):
+        nf = n // frame_size
+        fr = sig[: nf * frame_size].reshape(nf, frame_size) * window[None, :]
+        spec = jnp.fft.fft(fr, axis=1)
+        return (spec.real**2 + spec.imag**2).astype(jnp.float32)
+
+    def classify(sig):
+        ps = power_frames(sig)
+        diffs = ((ps[1:] - ps[:-1]) ** 2).sum(axis=1) / frame_size
+        return diffs.sum() / max(n, 1)  # normalized variance scalar
+
+    def noise_spectrum(sig, num_frames: int = 20):
+        ps = power_frames(sig)[:num_frames]
+        return ps.sum(axis=0) / num_frames
+
+    def frames(sig):
+        nf = (n - frame_size) // step + 1
+        idx = jnp.arange(nf)[:, None] * step + jnp.arange(frame_size)[None, :]
+        return sig[idx]
+
+    def overlap_add(td):
+        nf = td.shape[0]
+        idx = jnp.arange(nf)[:, None] * step + jnp.arange(frame_size)[None, :]
+        contrib = td * window[None, :]
+        out = jnp.zeros((n + frame_size,), jnp.float32).at[idx].add(contrib)[:n]
+        norm = jnp.zeros((n + frame_size,), jnp.float32).at[idx].add(
+            jnp.broadcast_to(window * window, td.shape))[:n]
+        return out / jnp.maximum(norm, 0.5) * post_gain
+
+    def spectral(sig):
+        fr = frames(sig)
+        noise = noise_spectrum(sig)
+        spec = jnp.fft.fft(fr * window[None, :], axis=1)
+        power = (spec.real**2 + spec.imag**2).astype(jnp.float32)
+        alpha, beta = 1.0, 0.1
+        freq_factor = jnp.minimum(
+            jnp.arange(frame_size, dtype=jnp.float32) / frame_size, 1.0)
+        freq_strength = strength * (1.0 - 0.3 * freq_factor)
+        ratio = noise[None, :] / (power + 1e-6)
+        gain = jnp.sqrt(jnp.maximum(
+            1.0 - alpha * jnp.power(ratio, freq_strength[None, :]), beta))
+        td = jnp.fft.ifft(spec * gain, axis=1).real.astype(jnp.float32)
+        return overlap_add(td)
+
+    def wiener(sig):
+        fr = frames(sig)
+        noise = noise_spectrum(sig)
+        signal = power_frames(sig).mean(axis=0)
+        snr = signal / (noise + 1e-6)
+        gain = jnp.power(snr / (1.0 + snr), strength * 0.7).astype(jnp.float32)
+        spec = jnp.fft.fft(fr * window[None, :], axis=1)
+        td = jnp.fft.ifft(spec * gain[None, :], axis=1).real.astype(jnp.float32)
+        return overlap_add(td)
+
+    v = classify(x)
+    y_s = spectral(x)
+    y_w = wiener(x)
+    y_m = wiener(y_s)
+    # mod.rs:507-530 routing: <0.1 stationary, >0.5 non-stationary, else both
+    return jnp.where(v < 0.1, y_s, jnp.where(v > 0.5, y_w, y_m))
+
+
+def denoise_audio_jax(x, config: DenoiseConfig | None = None):
+    """Device-side denoise: x (n,) or (B, n) f32 -> same shape. Matches
+    denoise_audio's routing/gains; compose inside jit (slot admission)."""
+    import jax
+    import jax.numpy as jnp
+
+    config = config or DenoiseConfig()
+    x = jnp.asarray(x, jnp.float32)
+    single = lambda row: _denoise_jax_single(
+        row, config.frame_size, config.overlap, config.strength, config.post_gain)
+    if x.ndim == 1:
+        return single(x)
+    return jax.vmap(single)(x)

@@ -57,6 +57,7 @@ class _StreamJob:
     future: Future = field(default_factory=Future)
     slot: int = -1
     is_audio: bool = False
+    denoise: bool = False            # device-side denoise before mel
 
 
 class SlotPool:
@@ -160,6 +161,11 @@ class SlotPool:
                 ppad=jnp.ones((S + 1,), jnp.int32))
         self.free: list[int] = list(range(S))
         self.jobs: dict[int, _StreamJob] = {}
+        # telemetry: admission batching + occupancy (serving-tuning data)
+        self.admit_calls = 0
+        self.admit_rows = 0
+        self.step_calls = 0
+        self.occupancy_sum = 0
         self.ring_fill = 0   # host mirror of ring_n (deterministic)
         self.gstep_host = 0  # host mirror of state["gstep"]
         self._admit_fns: dict[tuple[int, int], object] = {}
@@ -167,7 +173,8 @@ class SlotPool:
 
     # ---------------------------------------------------------------- jitted
 
-    def _build_admit(self, n: int, prompt_len: int, from_audio: bool = False):
+    def _build_admit(self, n: int, prompt_len: int, from_audio: bool = False,
+                     denoise: bool = False):
         """Batched admission: encode + cross-KV + prefill for n windows in
         ONE program, scattered into n pool slots. Dummy rows (padding a
         partial bucket) carry slot index S — the scratch row — and
@@ -190,6 +197,15 @@ class SlotPool:
             if from_audio:
                 from speaksense_tpu.audio import mel as MEL
 
+                if denoise:
+                    # DSP on-device too (host denoise measured ~1/3 of
+                    # end-to-end serving throughput at 64 streams); numpy
+                    # parity ~1e-6 (audio/dsp.denoise_audio_jax)
+                    from speaksense_tpu.audio.dsp import (
+                        DenoiseConfig, denoise_audio_jax,
+                    )
+
+                    mel = denoise_audio_jax(mel, DenoiseConfig(post_gain=1.0))
                 mel = MEL.log_mel_spectrogram(
                     mel, n_mels=dims.n_mels, filters=self.engine.mel_filters,
                     pad_to_chunk=False)
@@ -433,7 +449,7 @@ class SlotPool:
         # PREFIX, so only the leading same-kind run is taken)
         batch = []
         for j in jobs[:take]:
-            if j.is_audio != jobs[0].is_audio:
+            if (j.is_audio, j.denoise) != (jobs[0].is_audio, jobs[0].denoise):
                 break
             batch.append(j)
         take = len(batch)
@@ -460,14 +476,17 @@ class SlotPool:
             mel[i] = job.mel
             self.jobs[slot] = job
 
-        key = (bucket, P, batch[0].is_audio)
+        key = (bucket, P, batch[0].is_audio, batch[0].denoise)
         fn = self._admit_fns.get(key)
         if fn is None:
             fn = self._admit_fns[key] = self._build_admit(
-                bucket, P, from_audio=batch[0].is_audio)
+                bucket, P, from_audio=batch[0].is_audio,
+                denoise=batch[0].denoise)
         self.state = fn(self.engine.params, self.state, jnp.asarray(mel),
                         jnp.asarray(slots), jnp.asarray(prompts),
                         jnp.asarray(plen), jnp.asarray(valid))
+        self.admit_calls += 1
+        self.admit_rows += take
         return take
 
     def admit(self, job: _StreamJob) -> bool:
@@ -495,6 +514,8 @@ class SlotPool:
         if fn is None:
             fn = self._step_fns[(k, do_flush)] = self._build_step(k, do_flush)
         self.state, _ = fn(self.engine.params, self.suppress, self.state)
+        self.step_calls += 1
+        self.occupancy_sum += len(self.jobs)
         if ring_mode:
             if do_flush:
                 self.ring_fill = 0
@@ -578,10 +599,12 @@ class StreamingDecodeServer:
 
     def submit_audio(self, audio: np.ndarray, language: str | None = "en",
                      task: str = "transcribe",
-                     context: list[int] | None = None) -> Future:
+                     context: list[int] | None = None,
+                     denoise: bool = False) -> Future:
         """Submit RAW 16 kHz PCM (preferred over submit() on remote-relay
-        backends): the log-mel transform runs inside the admission program,
-        so the audio uploads once and no mel round-trips device<->host.
+        backends): the log-mel transform — and, with denoise=True, the DSP
+        denoise chain — runs inside the admission program, so the audio
+        uploads once and nothing round-trips device<->host.
         Audio is padded/truncated to the pool's t_mel bucket."""
         from speaksense_tpu.audio import mel as MEL
 
@@ -595,7 +618,7 @@ class StreamingDecodeServer:
         cap = self.pool.max_prompt - len(sot) - 1
         if context and cap > 0:
             prompt = [tok.sot_prev] + list(context)[-cap:] + sot
-        job = _StreamJob(a, prompt, is_audio=True)
+        job = _StreamJob(a, prompt, is_audio=True, denoise=denoise)
         self._queue.put(job)
         return job.future
 

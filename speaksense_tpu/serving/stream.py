@@ -245,13 +245,22 @@ class StreamSession:
 
     def _transcribe_chunk(self, chunk: bytes) -> list[StreamEvent]:
         audio = pcm16le_to_f32(chunk)
+        params = self.params
         if self.denoise:
-            from speaksense_tpu.audio.dsp import DenoiseConfig, denoise_audio
+            if getattr(self.engine, "device_denoise", False):
+                # slot-serving engines run the denoise chain ON DEVICE inside
+                # the admission program (host denoise measured ~1/3 of
+                # serving throughput at 64 streams — PERF.md)
+                import dataclasses
 
-            audio = denoise_audio(audio, DenoiseConfig(post_gain=1.0))
+                params = dataclasses.replace(self.params, denoise=True)
+            else:
+                from speaksense_tpu.audio.dsp import DenoiseConfig, denoise_audio
+
+                audio = denoise_audio(audio, DenoiseConfig(post_gain=1.0))
         events: list[StreamEvent] = []
         try:
-            result = self.engine.transcribe_with_state(self.state, audio, self.params)
+            result = self.engine.transcribe_with_state(self.state, audio, params)
         except Exception as e:
             log.error("ASR processing failed: %s", e)
             self.ctx.next_block()

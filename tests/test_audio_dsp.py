@@ -188,3 +188,27 @@ def test_ensure_wav_passthrough(tmp_path):
     path = tmp_path / "a.wav"
     AIO.write_wav(path, x, SR)
     assert AIO.ensure_wav_format(path) == path
+
+
+def test_denoise_jax_matches_numpy():
+    """The on-device denoise (fused into slot admission) must match the host
+    numpy path (same classifier routing, gains, OLA) to ~f32 noise."""
+    from speaksense_tpu.audio.dsp import (
+        DenoiseConfig, denoise_audio, denoise_audio_jax,
+    )
+
+    rng = np.random.default_rng(0)
+    t = np.arange(80000) / 16000
+    cases = [
+        (0.3 * np.sin(2 * np.pi * 300 * t)
+         + 0.05 * rng.standard_normal(80000)).astype(np.float32),  # tonal
+        (0.1 * rng.standard_normal(80000)).astype(np.float32),     # noise
+    ]
+    cfg = DenoiseConfig(post_gain=1.0)
+    for x in cases:
+        a = denoise_audio(x, cfg)
+        b = np.asarray(denoise_audio_jax(x, cfg))
+        assert np.abs(a - b).max() / max(1e-9, np.abs(a).max()) < 1e-4
+    # short input passes through unframed (numpy behavior)
+    short = np.zeros(1000, np.float32)
+    assert np.asarray(denoise_audio_jax(short, cfg)).shape == (1000,)

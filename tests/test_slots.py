@@ -214,3 +214,24 @@ def test_stream_state_carries_context_into_pool(engine, rng):
     finally:
         engine._slot_server.stop()
         engine._slot_server = None
+
+
+def test_stream_session_device_denoise(engine, rng):
+    """A denoising StreamSession against a slot-serving engine runs the DSP
+    chain on device: the admission program is the denoise variant and no
+    host numpy denoise happens."""
+    import base64
+
+    from speaksense_tpu.serving.stream import StreamSession
+
+    engine.enable_slot_serving(n_slots=2, t_mel=512, max_new=12)
+    try:
+        session = StreamSession(engine, language="en", denoise=True)
+        pcm = (rng.standard_normal(16000 * 5) * 1500).astype(np.int16)
+        session.feed(base64.standard_b64encode(pcm.tobytes()))
+        pool = engine._slot_server.pool
+        assert any(k[2] and k[3] for k in pool._admit_fns), \
+            list(pool._admit_fns)  # (bucket, P, is_audio=True, denoise=True)
+    finally:
+        engine._slot_server.stop()
+        engine._slot_server = None
