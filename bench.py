@@ -193,20 +193,32 @@ def bench_serve(model_name: str):
             await server.stop(grace=0.5)
         return wall, lat
 
-    async def main_async():
-        walla, _ = await run_streams(n_streams, n_chunks, 0.0)
-        _, latb = await run_streams(n_streams, paced_chunks, chunk_s)
-        return walla, latb
+    def snap():
+        if not use_slots:
+            return None
+        p = engine._slot_server.pool
+        return (p.admit_calls, p.admit_rows, p.step_calls, p.occupancy_sum)
 
-    wall, latencies = asyncio.run(main_async())
+    async def main_async():
+        s0 = snap()
+        walla, _ = await run_streams(n_streams, n_chunks, 0.0)
+        s1 = snap()
+        _, latb = await run_streams(n_streams, paced_chunks, chunk_s)
+        return walla, latb, s0, s1
+
+    wall, latencies, s0, s1 = asyncio.run(main_async())
     pool_stats = {}
-    if use_slots:
-        pool = engine._slot_server.pool
+    if use_slots and s0 and s1:
+        d_admits = s1[0] - s0[0]
+        d_rows = s1[1] - s0[1]
+        d_steps = s1[2] - s0[2]
+        d_occ = s1[3] - s0[3]
+        # firehose-phase-only counters (warmup/paced excluded)
         pool_stats = {
-            "admit_avg_batch": round(pool.admit_rows / max(1, pool.admit_calls), 2),
-            "avg_occupancy": round(pool.occupancy_sum / max(1, pool.step_calls), 1),
-            "step_calls": pool.step_calls,
-            "admit_calls": pool.admit_calls,
+            "admit_avg_batch": round(d_rows / max(1, d_admits), 2),
+            "avg_occupancy": round(d_occ / max(1, d_steps), 1),
+            "step_calls": d_steps,
+            "admit_calls": d_admits,
         }
     if not use_slots:
         serving_engine.stop()
@@ -229,6 +241,81 @@ def bench_serve(model_name: str):
         "p95_chunk_latency_s": q(0.95),
         "paced_streams": n_streams,
         **pool_stats,
+    }))
+
+
+def bench_sessions(model_name: str):
+    """BENCH_MODE=sessions: the serve pipeline MINUS gRPC/asyncio — 64
+    host threads each drive a StreamSession (base64, pcm decode, session
+    state, engine, postprocess) against the slot pool. Comparing this with
+    BENCH_MODE=serve isolates the transport layer's share of the
+    serve-vs-slots gap; comparing with BENCH_MODE=slots isolates the
+    session/host layer's."""
+    import base64
+    import threading
+
+    import jax
+    import ml_dtypes
+
+    from speaksense_tpu.utils.jaxsetup import init_compilation_cache
+
+    init_compilation_cache()
+
+    from speaksense_tpu.asr.engine import WhisperEngine
+    from speaksense_tpu.config import EngineConfig
+    from speaksense_tpu.models import whisper as W
+    from speaksense_tpu.models.tokenizer import Tokenizer
+    from speaksense_tpu.serving.stream import StreamSession
+
+    n_streams = int(os.environ.get("BENCH_SERVE_STREAMS", "64"))
+    n_chunks = int(os.environ.get("BENCH_SERVE_CHUNKS", "8"))
+    denoise = os.environ.get("BENCH_SERVE_DENOISE", "1") not in ("", "0", "false")
+    max_new = int(os.environ.get("BENCH_SERVE_TOKENS", "96"))
+    chunk_s = 5.0
+
+    dims = W.MODEL_DIMS[model_name]
+    params = jax.tree.map(
+        lambda x: x.astype(ml_dtypes.bfloat16) if x.ndim >= 2 else x,
+        W.init_params_np(dims))
+    tok = Tokenizer.synthetic(dims.n_vocab)
+    engine = WhisperEngine(params, dims, tok,
+                           config=EngineConfig(cross_kv_int8=True))
+    engine.enable_slot_serving(n_slots=n_streams, t_mel=512, max_new=max_new,
+                               int8_kv=True)
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(int(chunk_s * 16000)) * 1500).astype(np.int16)
+    b64 = base64.standard_b64encode(pcm.tobytes())
+
+    def one_stream():
+        s = StreamSession(engine, language="en", denoise=denoise)
+        for _ in range(n_chunks):
+            s.feed(b64)
+        s.finish()
+
+    one_stream()  # warm every program
+    pool = engine._slot_server.pool
+    c0 = (pool.admit_calls, pool.admit_rows, pool.step_calls, pool.occupancy_sum)
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=one_stream) for _ in range(n_streams)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    c1 = (pool.admit_calls, pool.admit_rows, pool.step_calls, pool.occupancy_sum)
+    engine.disable_slot_serving()
+    rtf = n_streams * n_chunks * chunk_s / wall
+    print(json.dumps({
+        "metric": f"{model_name} session-level serving real-time factor "
+                  f"({n_streams} threads, {chunk_s:.0f}s chunks, no gRPC, "
+                  f"denoise={'on' if denoise else 'off'})",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 30.0, 2),
+        "admit_avg_batch": round((c1[1] - c0[1]) / max(1, c1[0] - c0[0]), 2),
+        "avg_occupancy": round((c1[3] - c0[3]) / max(1, c1[2] - c0[2]), 1),
+        "step_calls": c1[2] - c0[2],
+        "admit_calls": c1[0] - c0[0],
     }))
 
 
@@ -298,6 +385,8 @@ def main():
         return bench_beam(model_name)
     if os.environ.get("BENCH_MODE", "") == "serve":
         return bench_serve(model_name)
+    if os.environ.get("BENCH_MODE", "") == "sessions":
+        return bench_sessions(model_name)
 
     import jax
     import jax.numpy as jnp

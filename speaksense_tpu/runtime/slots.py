@@ -57,7 +57,7 @@ class _StreamJob:
     future: Future = field(default_factory=Future)
     slot: int = -1
     is_audio: bool = False
-    denoise: bool = False            # device-side denoise before mel
+    denoise: str | None = None       # device denoise branch name, or None
 
 
 class SlotPool:
@@ -174,7 +174,7 @@ class SlotPool:
     # ---------------------------------------------------------------- jitted
 
     def _build_admit(self, n: int, prompt_len: int, from_audio: bool = False,
-                     denoise: bool = False):
+                     denoise: str | None = None):
         """Batched admission: encode + cross-KV + prefill for n windows in
         ONE program, scattered into n pool slots. Dummy rows (padding a
         partial bucket) carry slot index S — the scratch row — and
@@ -200,12 +200,16 @@ class SlotPool:
                 if denoise:
                     # DSP on-device too (host denoise measured ~1/3 of
                     # end-to-end serving throughput at 64 streams); numpy
-                    # parity ~1e-6 (audio/dsp.denoise_audio_jax)
+                    # parity ~1e-6 (audio/dsp.denoise_audio_jax). The branch
+                    # is pinned per-program from the HOST classifier so only
+                    # one DSP path is computed (all-three measured 48.7x vs
+                    # 58.2x denoise-off serving).
                     from speaksense_tpu.audio.dsp import (
                         DenoiseConfig, denoise_audio_jax,
                     )
 
-                    mel = denoise_audio_jax(mel, DenoiseConfig(post_gain=1.0))
+                    mel = denoise_audio_jax(mel, DenoiseConfig(post_gain=1.0),
+                                            branch=denoise)
                 mel = MEL.log_mel_spectrogram(
                     mel, n_mels=dims.n_mels, filters=self.engine.mel_filters,
                     pad_to_chunk=False)
@@ -618,7 +622,12 @@ class StreamingDecodeServer:
         cap = self.pool.max_prompt - len(sot) - 1
         if context and cap > 0:
             prompt = [tok.sot_prev] + list(context)[-cap:] + sot
-        job = _StreamJob(a, prompt, is_audio=True, denoise=denoise)
+        branch = None
+        if denoise:
+            from speaksense_tpu.audio.dsp import classify_noise
+
+            branch = classify_noise(a)  # host pick -> single-branch program
+        job = _StreamJob(a, prompt, is_audio=True, denoise=branch)
         self._queue.put(job)
         return job.future
 
