@@ -127,6 +127,7 @@ def bench_serve(model_name: str):
     max_new = int(os.environ.get("BENCH_SERVE_TOKENS", "96"))
     denoise = os.environ.get("BENCH_SERVE_DENOISE", "1") not in ("", "0", "false")
     use_slots = os.environ.get("BENCH_SERVE_SLOTS", "1") not in ("", "0", "false")
+    serve_k = int(os.environ.get("BENCH_SERVE_K", "16"))
     chunk_s = 5.0
     chunk_bytes = int(chunk_s * 16000) * 2
 
@@ -140,6 +141,7 @@ def bench_serve(model_name: str):
     if use_slots:
         engine.enable_slot_serving(n_slots=n_streams, t_mel=512,
                                    max_new=max_new, int8_kv=True)
+        engine._slot_server.steps_per_dispatch = serve_k
         serving_engine = engine
     else:
         from speaksense_tpu.runtime.batcher import BatchedEngine

@@ -57,6 +57,33 @@ class EngineState:
     lock: threading.Lock = field(default_factory=threading.Lock)
 
 
+class _PendingChunk:
+    """Handle for one in-flight stream chunk (WhisperEngine.
+    submit_stream_chunk): settle() blocks until the slot pool finishes the
+    chunk's decode, then runs the host postprocess. Settle calls for one
+    stream must happen in submission order from a single thread — the
+    conditioning-context update is ordered by that discipline, not a lock
+    (the sequential path holds state.lock for the whole chunk instead)."""
+
+    __slots__ = ("engine", "state", "future", "n_samples", "params", "language")
+
+    def __init__(self, engine, state, future, n_samples, params, language):
+        self.engine = engine
+        self.state = state
+        self.future = future
+        self.n_samples = n_samples
+        self.params = params
+        self.language = language
+
+    def settle(self) -> TranscribeResult:
+        raw = self.future.result()
+        result = self.engine._finish_slot_chunk(raw, self.n_samples, self.params,
+                                                self.language, self.state)
+        if self.state is not None:
+            self.state.language = result.language or self.state.language
+        return result
+
+
 class WhisperEngine(AsrEngine):
     def __init__(self, params, dims: W.WhisperDims, tokenizer: Tokenizer,
                  mel_filters: np.ndarray | None = None,
@@ -641,6 +668,56 @@ class WhisperEngine(AsrEngine):
             server.stop()
             self._slot_server = None
 
+    def _finish_slot_chunk(self, raw: dict, n_samples: int, params: AsrParams,
+                           language: str | None,
+                           state: EngineState | None) -> TranscribeResult:
+        """Host postprocess for one slot-pool stream chunk: token->segment
+        conversion, window clamping, conditioning-context bookkeeping, and
+        the reference segment pipeline (_postprocess)."""
+        window_dur = n_samples / SAMPLE_RATE
+        segs, _ = D.segments_from_tokens(raw["tokens"], raw["n_sampled"], self.tokenizer)
+        for s in segs:
+            s["end"] = min(s["end"], window_dur)
+            s["start"] = min(s["start"], s["end"])
+        if state is not None:
+            server = getattr(self, "_slot_server", None)
+            text_toks = [int(t) for t in raw["tokens"][: raw["n_sampled"]]
+                         if t < self.tokenizer.eot]
+            cap = server.pool.max_prompt if server is not None else 16
+            state.context_tokens = (state.context_tokens + text_toks)[-cap:]
+        return self._postprocess(segs, params, language)
+
+    def submit_stream_chunk(self, state: EngineState | None, audio,
+                            params: AsrParams):
+        """Nonblocking stream-chunk submission for SESSION-LEVEL PIPELINING.
+
+        When chunks are independent (no previous-text conditioning reaches
+        the pool's admission prompt), a backlogged stream may keep several
+        chunks decoding concurrently; the transport settles them in order
+        (serving/stream.StreamSession.ingest/settle), so slots stay busy
+        during the host postprocess + transport turnaround instead of
+        idling one full round trip per chunk. Returns a handle with
+        .settle() -> TranscribeResult, or None when the chunk must take the
+        sequential transcribe_with_state path (no slot pool, off-bucket
+        chunk, or conditioning active — chunk k+1's prompt then depends on
+        chunk k's output)."""
+        if not params.stream_mode:
+            return None
+        server = getattr(self, "_slot_server", None)
+        if server is None:
+            return None
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        n_frames = max(1, audio.size // MEL.HOP_LENGTH)
+        if self._mel_bucket(n_frames) != server.pool.t_mel:
+            return None
+        if (state is not None and params.condition_on_previous_text
+                and server.pool.max_prompt > 16):
+            return None
+        language = params.language or (state.language if state else None) or "en"
+        fut = server.submit_audio(audio, language=language, task=params.task,
+                                  denoise=params.denoise)
+        return _PendingChunk(self, state, fut, audio.size, params, language)
+
     def _transcribe_stream_chunk(self, audio, params: AsrParams,
                                  decode_window=None,
                                  state: EngineState | None = None) -> TranscribeResult:
@@ -673,17 +750,7 @@ class WhisperEngine(AsrEngine):
             raw = server.submit_audio(audio, language=language,
                                       task=params.task, context=context,
                                       denoise=params.denoise).result()
-            window_dur = audio.size / SAMPLE_RATE
-            segs, _ = D.segments_from_tokens(raw["tokens"], raw["n_sampled"], self.tokenizer)
-            for s in segs:
-                s["end"] = min(s["end"], window_dur)
-                s["start"] = min(s["start"], s["end"])
-            if state is not None:
-                text_toks = [int(t) for t in raw["tokens"][: raw["n_sampled"]]
-                             if t < self.tokenizer.eot]
-                cap = server.pool.max_prompt
-                state.context_tokens = (state.context_tokens + text_toks)[-cap:]
-            return self._postprocess(segs, params, language)
+            return self._finish_slot_chunk(raw, audio.size, params, language, state)
         if params.denoise:
             # off-bucket fallback: the pool would have denoised on device;
             # honor the request host-side on the window path

@@ -30,6 +30,7 @@ never blocks admission for more than one decode step (~ms).
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 from concurrent.futures import Future
@@ -428,8 +429,11 @@ class SlotPool:
     # ------------------------------------------------------------------ host
 
     # admission bucket sizes: 1 for trickle, 8 for bursts (each (bucket,
-    # prompt_len) pair is one compiled program)
-    ADMIT_BUCKETS = (1, 8)
+    # prompt_len) pair is one compiled program). SPEAKSENSE_ADMIT_BUCKETS
+    # overrides (e.g. "1,8,16" — larger buckets amortize per-admit fixed
+    # cost when completions cluster at flush boundaries).
+    ADMIT_BUCKETS = tuple(
+        int(b) for b in os.environ.get("SPEAKSENSE_ADMIT_BUCKETS", "1,8").split(","))
 
     def _prompt_buckets(self) -> tuple[int, ...]:
         """Padded-prompt width buckets: 4 covers plain SOT sequences, 16 the

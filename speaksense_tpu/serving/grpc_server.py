@@ -48,10 +48,18 @@ class AsrService:
     src/grpc/handlers/asr.rs:20-138)."""
 
     def __init__(self, engine: AsrEngine, language: str = "zh", denoise: bool = True,
-                 executor=None):
+                 executor=None, max_inflight: int | None = None):
         self.engine = engine
         self.language = language
         self.denoise = denoise
+        # chunks one stream may keep decoding concurrently while earlier
+        # results are still being settled/serialized (session-level
+        # pipelining; only effective on engines with nonblocking submission)
+        if max_inflight is None:
+            import os
+
+            max_inflight = int(os.environ.get("SPEAKSENSE_MAX_INFLIGHT", "8"))
+        self.max_inflight = max(1, max_inflight)
         # Dedicated pool for blocking session work: a feed() blocks its
         # thread on the decode future, so the pool must hold >= one thread
         # per concurrent stream or streams queue BEHIND the thread pool
@@ -67,24 +75,59 @@ class AsrService:
         self._executor = executor
 
     async def Transcribe(self, request_iterator, context):
+        # Session-level pipelining: an ingest task reads inbound messages
+        # and SUBMITS each complete chunk's decode without waiting
+        # (StreamSession.ingest), while this generator settles results in
+        # order and streams the responses. A backlogged stream thereby
+        # keeps up to max_inflight chunks decoding concurrently in the slot
+        # pool instead of idling a slot for one host round trip per chunk;
+        # engines without nonblocking submission decode inline during
+        # ingest, preserving the old sequential behavior exactly.
         loop = asyncio.get_running_loop()
         session: StreamSession | None = None
+        q: asyncio.Queue = asyncio.Queue(maxsize=self.max_inflight)
+
+        async def ingest():
+            nonlocal session
+            try:
+                async for req in request_iterator:
+                    if session is None:
+                        fmt = asr_pb2.AudioFormat.Name(req.type) \
+                            if req.type in asr_pb2.AudioFormat.values() else "UNKNOWN"
+                        session = StreamSession(self.engine, device_id=req.device_id,
+                                                language=self.language,
+                                                denoise=self.denoise,
+                                                audio_format=fmt)
+                    pendings = await loop.run_in_executor(
+                        self._executor, session.ingest, req.audio, req.device_id)
+                    for p in pendings:
+                        await q.put(("chunk", p))  # blocks at max_inflight
+                    if req.end == 1:
+                        await q.put(("finish", None))
+                        return
+                await q.put(("eos", None))
+            except asyncio.CancelledError:
+                raise
+            except Exception as e:
+                await q.put(("error", e))
+
+        ingest_task = asyncio.create_task(ingest())
         try:
-            async for req in request_iterator:
-                if session is None:
-                    fmt = asr_pb2.AudioFormat.Name(req.type) \
-                        if req.type in asr_pb2.AudioFormat.values() else "UNKNOWN"
-                    session = StreamSession(self.engine, device_id=req.device_id,
-                                            language=self.language, denoise=self.denoise,
-                                            audio_format=fmt)
-                events = await loop.run_in_executor(
-                    self._executor, session.feed, req.audio, req.device_id)
-                for ev in events:
-                    yield _event_to_response(ev)
-                if req.end == 1:
+            while True:
+                kind, payload = await q.get()
+                if kind == "chunk":
+                    events = await loop.run_in_executor(
+                        self._executor, session.settle, payload)
+                    for ev in events:
+                        yield _event_to_response(ev)
+                elif kind == "finish":
                     for ev in await loop.run_in_executor(self._executor, session.finish):
                         yield _event_to_response(ev)
                     return
+                elif kind == "eos":
+                    return
+                else:
+                    raise payload
         except asyncio.CancelledError:
             log.info("stream cancelled by client")
             raise
@@ -94,6 +137,8 @@ class AsrService:
         except Exception as e:
             log.error("stream error: %s", e, exc_info=True)
             await context.abort(grpc.StatusCode.INTERNAL, str(e))
+        finally:
+            ingest_task.cancel()
 
     def handler(self) -> grpc.GenericRpcHandler:
         rpc = grpc.stream_stream_rpc_method_handler(

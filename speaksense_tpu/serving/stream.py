@@ -213,6 +213,20 @@ class StreamSession:
         self.ctx = StreamContext(block_seconds=chunk_bytes / (2.0 * SAMPLE_RATE))
 
     def feed(self, audio_b64: bytes, device_id: str = "") -> list[StreamEvent]:
+        """Buffer inbound bytes and transcribe every complete chunk, blocking
+        until all their events are ready (the reference's inline handler
+        shape). Equivalent to ingest() + settle() of each pending in order."""
+        return [ev for p in self.ingest(audio_b64, device_id)
+                for ev in self.settle(p)]
+
+    def ingest(self, audio_b64: bytes, device_id: str = "") -> list:
+        """Pipelining phase 1: buffer inbound bytes, extract complete chunks,
+        and SUBMIT each without waiting for its decode. Returns opaque
+        pending handles (chunk order) for settle(). When the engine supports
+        nonblocking submission (slot pool, unconditioned chunks), a
+        backlogged stream keeps several chunks decoding concurrently;
+        otherwise the chunk is decoded inline here, preserving the
+        sequential semantics exactly."""
         if device_id and not self.device_id:
             self.device_id = device_id
         try:
@@ -235,15 +249,18 @@ class StreamSession:
             # PCM (wire compat: the reference example client tags AAC but
             # sends PCM, asr_client.rs:176)
             self._format_checked = True
-        events: list[StreamEvent] = []
+        pendings: list = []
         while len(self.buffer) >= self.chunk_bytes:
             chunk = bytes(self.buffer[: self.chunk_bytes])
-            events.extend(self._transcribe_chunk(chunk))
+            pendings.append(self._submit_chunk(chunk))
             # keep the overlap tail (reference keeps CHUNK-OVERLAP onward)
             self.buffer = self.buffer[self.chunk_bytes - self.overlap_bytes :]
-        return events
+        return pendings
 
-    def _transcribe_chunk(self, chunk: bytes) -> list[StreamEvent]:
+    def _submit_chunk(self, chunk: bytes):
+        """Submit one chunk's decode; returns a pending handle for settle().
+        Falls back to a blocking inline decode when the engine has no
+        nonblocking path (then the \"pending\" is just the result)."""
         audio = pcm16le_to_f32(chunk)
         params = self.params
         if self.denoise:
@@ -258,22 +275,48 @@ class StreamSession:
                 from speaksense_tpu.audio.dsp import DenoiseConfig, denoise_audio
 
                 audio = denoise_audio(audio, DenoiseConfig(post_gain=1.0))
-        events: list[StreamEvent] = []
+        submit = getattr(self.engine, "submit_stream_chunk", None)
+        if submit is not None:
+            try:
+                pending = submit(self.state, audio, params)
+            except Exception as e:
+                log.error("ASR submission failed: %s", e)
+                return None
+            if pending is not None:
+                return pending
+        # sequential path: decode NOW so the next chunk (conditioned on this
+        # one) is only submitted after this result lands
         try:
-            result = self.engine.transcribe_with_state(self.state, audio, params)
+            return self.engine.transcribe_with_state(self.state, audio, params)
         except Exception as e:
             log.error("ASR processing failed: %s", e)
-            self.ctx.next_block()
-            return events
-        for segment in result.segments:
-            new_text = process_text(segment.text, self.ctx.last_text, [segment])
-            if new_text is None:
-                continue
-            self.ctx.last_text = segment.text
-            start_ms, end_ms = self.ctx.calculate_segment_time(segment.start, segment.end)
-            events.append(StreamEvent(
-                text=new_text, end=0, device_id=self.device_id,
-                segments=[(start_ms, end_ms, segment.text)]))
+            return None
+
+    def settle(self, pending) -> list[StreamEvent]:
+        """Pipelining phase 2: wait for one submitted chunk (MUST be called
+        in ingest() order) and run the diff/stitching postprocess."""
+        if pending is None:
+            result = None
+        elif hasattr(pending, "settle"):
+            try:
+                result = pending.settle()
+            except Exception as e:
+                log.error("ASR processing failed: %s", e)
+                result = None
+        else:
+            result = pending  # inline-decoded TranscribeResult
+        events: list[StreamEvent] = []
+        if result is not None:
+            for segment in result.segments:
+                new_text = process_text(segment.text, self.ctx.last_text, [segment])
+                if new_text is None:
+                    continue
+                self.ctx.last_text = segment.text
+                start_ms, end_ms = self.ctx.calculate_segment_time(
+                    segment.start, segment.end)
+                events.append(StreamEvent(
+                    text=new_text, end=0, device_id=self.device_id,
+                    segments=[(start_ms, end_ms, segment.text)]))
         self.ctx.next_block()
         return events
 

@@ -183,3 +183,65 @@ def test_grpc_stream_uses_config_beam():
     assert responses and responses[-1].end == 1
     beam_keys = [k for k in engine._jit_cache if k[0] == "beam"]
     assert beam_keys, "gRPC stream decode did not route through beam search"
+
+
+def test_backlogged_stream_pipelines_through_slot_pool():
+    """Session-level pipelining: ONE message carrying several chunks of audio
+    keeps multiple decodes in flight in the slot pool (the handler's ingest
+    task submits ahead of settle), and responses still arrive in chunk
+    order with monotonic timestamps."""
+    import jax
+
+    from speaksense_tpu.asr.engine import WhisperEngine
+    from speaksense_tpu.config import EngineConfig
+    from speaksense_tpu.models.tokenizer import Tokenizer
+    from speaksense_tpu.models.whisper import WhisperDims, init_params
+
+    dims = WhisperDims(
+        n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+        n_text_head=4, n_text_layer=2)
+    engine = WhisperEngine(init_params(dims, jax.random.PRNGKey(0)), dims,
+                           Tokenizer.synthetic(dims.n_vocab),
+                           config=EngineConfig(compute_dtype="float32"))
+    engine.enable_slot_serving(n_slots=2, t_mel=512, max_new=8)
+
+    rng = np.random.default_rng(1)
+    # 3 chunks in one payload: 3*CHUNK - 2*OVERLAP bytes of s16 PCM
+    from speaksense_tpu.serving.stream import CHUNK_BYTES, OVERLAP_BYTES
+
+    n = (3 * CHUNK_BYTES - 2 * OVERLAP_BYTES) // 2
+    payload = base64.b64encode(
+        (rng.standard_normal(n) * 500).astype(np.int16).tobytes())
+
+    async def run():
+        server = GrpcServer(engine, port=0, registry=None, language="en",
+                            denoise=False)
+        await server.start()
+        try:
+            requests = [
+                asr_pb2.TranscribeRequest(type=asr_pb2.PCM, end=0, audio=payload),
+                asr_pb2.TranscribeRequest(type=asr_pb2.PCM, end=1, audio=b""),
+            ]
+            async with grpc.aio.insecure_channel(f"127.0.0.1:{server.port}") as ch:
+                call = ch.stream_stream(
+                    SERVICE_PATH,
+                    request_serializer=asr_pb2.TranscribeRequest.SerializeToString,
+                    response_deserializer=asr_pb2.TranscribeResponse.FromString,
+                )(iter(requests))
+                return [r async for r in call]
+        finally:
+            await server.stop(grace=0.1)
+
+    try:
+        responses = asyncio.run(run())
+        assert responses and responses[-1].end == 1
+        mids = [r for r in responses if r.end == 0]
+        # in-order stitching: segment times are monotonically non-decreasing
+        starts = [s.start for r in mids for s in r.segments]
+        assert starts == sorted(starts)
+        pool = engine._slot_server.pool
+        assert pool.n_active == 0
+        assert sorted(pool.free) == [0, 1]
+    finally:
+        engine.disable_slot_serving()

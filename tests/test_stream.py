@@ -195,3 +195,74 @@ def test_mistagged_pcm_passes_through():
                       audio_format="AAC")
     s.feed(_b64(pcm))
     assert len(s.buffer) == len(pcm)
+
+
+class _PipelinedFake(FakeAsrEngine):
+    """Fake engine with a NONBLOCKING submit path (the WhisperEngine slot-pool
+    contract, asr/engine.py submit_stream_chunk): each chunk decodes on its
+    own worker thread, and the FIRST submitted chunk completes LAST — settle
+    order must still produce in-order stitching."""
+
+    def __init__(self):
+        super().__init__()
+        self.submitted: list[float] = []
+
+    def submit_stream_chunk(self, state, audio, params):
+        import threading
+        import time as _time
+        from concurrent.futures import Future
+
+        delay = 0.05 if not self.submitted else 0.0  # first = slowest
+        self.submitted.append(_time.monotonic())
+        fut: Future = Future()
+
+        def run():
+            _time.sleep(delay)
+            fut.set_result(self.transcribe_with_state(state, audio, params))
+
+        threading.Thread(target=run, daemon=True).start()
+
+        class _Handle:
+            def settle(self_h):
+                return fut.result(timeout=10)
+
+        return _Handle()
+
+
+def test_pipelined_session_matches_sequential():
+    """ingest()/settle() pipelining (out-of-order completion!) must emit the
+    exact events the sequential feed path emits."""
+    rng = np.random.default_rng(7)
+    # 3 full chunks of DISTINCT audio in one payload (hash-derived fake text)
+    n = (3 * (CHUNK_BYTES - OVERLAP_BYTES) + OVERLAP_BYTES) // 2
+    payload = base64.b64encode(
+        (rng.standard_normal(n) * 1000).astype(np.int16).tobytes())
+
+    seq = StreamSession(FakeAsrEngine(), device_id="d", denoise=False,
+                        language="en")
+    want = [(e.text, e.segments) for e in seq.feed(payload)]
+
+    pipe_engine = _PipelinedFake()
+    pipe = StreamSession(pipe_engine, device_id="d", denoise=False,
+                         language="en")
+    pendings = pipe.ingest(payload)
+    assert len(pendings) == 3 and len(pipe_engine.submitted) == 3, \
+        "all chunks must be submitted before any settle"
+    got = [(e.text, e.segments) for p in pendings for e in pipe.settle(p)]
+    assert got == want
+
+
+def test_feed_equals_ingest_plus_settle():
+    """feed() is exactly ingest()+settle() for engines without a
+    nonblocking path (inline decode preserves sequential semantics)."""
+    rng = np.random.default_rng(3)
+    n = CHUNK_BYTES  # two chunks' worth of bytes (s16)
+    payload = base64.b64encode(
+        (rng.standard_normal(n) * 1000).astype(np.int16).tobytes())
+    a = StreamSession(FakeAsrEngine(), denoise=False, language="en")
+    b = StreamSession(FakeAsrEngine(), denoise=False, language="en")
+    ev_feed = a.feed(payload)
+    ev_split = [e for p in b.ingest(payload) for e in b.settle(p)]
+    assert [(e.text, e.segments) for e in ev_feed] == \
+        [(e.text, e.segments) for e in ev_split]
+    assert a.buffer == b.buffer and a.ctx.block_index == b.ctx.block_index
