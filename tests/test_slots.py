@@ -235,3 +235,50 @@ def test_stream_session_device_denoise(engine, rng):
     finally:
         engine._slot_server.stop()
         engine._slot_server = None
+
+
+def test_submit_stream_chunk_gating(engine, rng):
+    """submit_stream_chunk (the nonblocking pipelining entry) must decline —
+    returning None so callers take the ordered sequential path — whenever
+    pipelining could change semantics: no slot pool, non-stream params,
+    off-bucket chunks, or previous-text conditioning that reaches the
+    admission prompt (chunk k+1's prompt then depends on chunk k's output)."""
+    from speaksense_tpu.asr import AsrParams
+
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    stream = AsrParams(language="en", stream_mode=True)
+
+    # no slot pool -> None
+    assert engine.submit_stream_chunk(engine.create_state(), audio, stream) is None
+
+    engine.enable_slot_serving(n_slots=2, t_mel=512, max_new=8)
+    try:
+        # batch-mode params -> None (pipelining is a streaming-only contract)
+        assert engine.submit_stream_chunk(
+            engine.create_state(), audio,
+            AsrParams(language="en", stream_mode=False)) is None
+        # off-bucket chunk (>10 s buckets to 1024 != pool 512) -> None
+        long_audio = (rng.standard_normal(16000 * 11) * 0.1).astype(np.float32)
+        assert engine.submit_stream_chunk(
+            engine.create_state(), long_audio, stream) is None
+        # in-bucket unconditioned chunk -> pending handle, settles to the
+        # same result shape the sequential path returns
+        pending = engine.submit_stream_chunk(engine.create_state(), audio, stream)
+        assert pending is not None
+        res = pending.settle()
+        assert res.language == "en" and len(res.segments) <= 1
+    finally:
+        engine.disable_slot_serving()
+
+    # conditioning that reaches the admission prompt (max_prompt > 16) -> None
+    engine.enable_slot_serving(n_slots=2, t_mel=512, max_new=8, max_prompt=64)
+    try:
+        state = engine.create_state()
+        state.context_tokens = [5, 6, 7]
+        assert engine.submit_stream_chunk(state, audio, stream) is None
+        # with conditioning disabled the same pool pipelines fine
+        nc = AsrParams(language="en", stream_mode=True,
+                       condition_on_previous_text=False)
+        assert engine.submit_stream_chunk(state, audio, nc) is not None
+    finally:
+        engine.disable_slot_serving()

@@ -266,3 +266,47 @@ def test_feed_equals_ingest_plus_settle():
     assert [(e.text, e.segments) for e in ev_feed] == \
         [(e.text, e.segments) for e in ev_split]
     assert a.buffer == b.buffer and a.ctx.block_index == b.ctx.block_index
+
+
+class _FailOnceFake(FakeAsrEngine):
+    """Nonblocking engine whose SECOND submitted chunk fails at settle time
+    (decode error surfaces through the pending handle, not at submission)."""
+
+    def __init__(self):
+        super().__init__()
+        self.n = 0
+
+    def submit_stream_chunk(self, state, audio, params):
+        self.n += 1
+        fail = self.n == 2
+        outer = self
+
+        class _Handle:
+            def settle(self_h):
+                if fail:
+                    raise RuntimeError("decode blew up")
+                return outer.transcribe_with_state(state, audio, params)
+
+        return _Handle()
+
+
+def test_settle_error_does_not_shift_later_timestamps():
+    """A chunk whose decode fails must emit nothing but still advance the
+    block clock: chunk 3's absolute timestamps are identical to what they'd
+    be had chunk 2 succeeded (reference behavior: errors are logged, the
+    block index still advances — handlers/asr.rs error arm)."""
+    rng = np.random.default_rng(11)
+    n = (3 * (CHUNK_BYTES - OVERLAP_BYTES) + OVERLAP_BYTES) // 2
+    payload = base64.b64encode(
+        (rng.standard_normal(n) * 1000).astype(np.int16).tobytes())
+
+    ok = StreamSession(FakeAsrEngine(), denoise=False, language="en")
+    want = [(e.text, e.segments) for e in ok.feed(payload)]
+    assert len(want) == 3
+
+    s = StreamSession(_FailOnceFake(), denoise=False, language="en")
+    got = [(e.text, e.segments) for e in s.feed(payload)]
+    # chunk 2 emitted nothing; chunks 1 and 3 match the clean run exactly
+    # (same text, same absolute ms — the failed block still ticked the clock)
+    assert got == [want[0], want[2]]
+    assert s.ctx.block_index == 3
