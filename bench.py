@@ -379,9 +379,10 @@ def bench_beam(model_name: str):
 
 def main():
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    batch = int(os.environ.get("BENCH_BATCH", "48"))  # best measured config (PERF.md);
-    # B=48 became viable once the flash encoder removed the O(T^2) logits
-    # (263.2x vs 249.1x at B=32); B=32 pre-flash, B=24 pre-layout-fix OOM'd
+    batch = int(os.environ.get("BENCH_BATCH", "64"))  # best measured config (PERF.md);
+    # B=64: 269.3x vs 263.2x at B=48 — weight reads amortize over more rows,
+    # and the flash encoder's O(T) memory leaves HBM headroom (B=48 was the
+    # pre-flash optimum; B=32 pre-flash, B=24 pre-layout-fix OOM'd)
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "200"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     if os.environ.get("BENCH_MODE", "") == "slots":
