@@ -59,6 +59,10 @@ class _StreamJob:
     slot: int = -1
     is_audio: bool = False
     denoise: str | None = None       # device denoise branch name, or None
+    admit_step: int = 0              # pool.step_calls when admitted (see
+    #                                  retire_from: a meta snapshot older
+    #                                  than the admission must not retire
+    #                                  this slot's NEW occupant)
 
 
 class SlotPool:
@@ -171,6 +175,9 @@ class SlotPool:
         self.gstep_host = 0  # host mirror of state["gstep"]
         self._admit_fns: dict[tuple[int, int], object] = {}
         self._step_fns: dict[tuple[int, bool], object] = {}
+        # (packed-meta device handle, dispatch number) of the newest step
+        # dispatch — fetched by retire_from, possibly one dispatch later
+        self._last_meta: tuple[object, int] | None = None
 
     # ---------------------------------------------------------------- jitted
 
@@ -375,6 +382,24 @@ class SlotPool:
             finished_now = newly_done | hit_cap
             return new, finished_now
 
+        def pack_meta(state):
+            """Everything retirement reads, packed into ONE flat int32 array.
+
+            The pool state is DONATED to the next dispatch, so a held state
+            handle cannot be fetched after another step is enqueued. This
+            concatenated copy is a fresh output buffer (a concat cannot
+            alias its inputs), so the host may enqueue dispatch N+1 and
+            only then fetch dispatch N's meta — the ~one-RTT retirement
+            fetch overlaps N+1's execution instead of idling the device
+            (see StreamingDecodeServer._loop lagged retirement)."""
+            return jnp.concatenate([
+                state["active"].astype(jnp.int32),
+                state["n_sampled"].astype(jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    state["sum_lp"].astype(jnp.float32), jnp.int32),
+                state["tokens"].astype(jnp.int32).reshape(-1),
+            ])
+
         def flush(state):
             """Fold the full W-row ring into the circular pages with ONE
             batchwide DUS at column gstep % T — the cursor column is shared
@@ -399,13 +424,17 @@ class SlotPool:
 
         if k == 1:
             if not ring_mode:
-                return jax.jit(step, donate_argnums=(2,))
+                def step1_legacy(params, suppress, state):
+                    state, _fin = step(params, suppress, state)
+                    return state, pack_meta(state)
+
+                return jax.jit(step1_legacy, donate_argnums=(2,))
 
             def step1(params, suppress, state):
-                state, fin = step(params, suppress, state)
+                state, _fin = step(params, suppress, state)
                 if do_flush:
                     state = flush(state)
-                return state, fin
+                return state, pack_meta(state)
 
             return jax.jit(step1, donate_argnums=(2,))
 
@@ -422,7 +451,7 @@ class SlotPool:
             state, _ = jax.lax.scan(body, state, None, length=k)
             if ring_mode and do_flush:
                 state = flush(state)
-            return state, None
+            return state, pack_meta(state)
 
         return jax.jit(step_k, donate_argnums=(2,))
 
@@ -479,6 +508,7 @@ class SlotPool:
         for i, job in enumerate(batch):
             slot = self.free.pop()
             job.slot = slot
+            job.admit_step = self.step_calls
             slots[i], valid[i], plen[i] = slot, True, len(job.prompt)
             prompts[i, : len(job.prompt)] = job.prompt
             mel[i] = job.mel
@@ -521,8 +551,9 @@ class SlotPool:
         fn = self._step_fns.get((k, do_flush))
         if fn is None:
             fn = self._step_fns[(k, do_flush)] = self._build_step(k, do_flush)
-        self.state, _ = fn(self.engine.params, self.suppress, self.state)
+        self.state, meta = fn(self.engine.params, self.suppress, self.state)
         self.step_calls += 1
+        self._last_meta = (meta, self.step_calls)
         self.occupancy_sum += len(self.jobs)
         if ring_mode:
             if do_flush:
@@ -532,7 +563,40 @@ class SlotPool:
                 self.ring_fill += k
         if not retire:
             return []
-        return self.retire_finished()
+        return self.retire_from(*self._last_meta)
+
+    def retire_from(self, meta, dispatch_no: int) -> list[_StreamJob]:
+        """Retire from a PACKED META snapshot (the step program's second
+        output; see pack_meta in _build_step).
+
+        `dispatch_no` is the pool.step_calls value at which `meta` was
+        produced: only jobs admitted BEFORE that dispatch (admit_step <
+        dispatch_no) are eligible — a newer occupant of a recycled slot
+        would otherwise be retired instantly with the previous job's
+        frozen snapshot values. Finished slots freeze mid-scan, so a
+        one-dispatch-old snapshot holds the finisher's final tokens."""
+        if not self.jobs:
+            return []
+        m = np.asarray(meta)          # the only device->host fetch
+        s1 = self.S + 1
+        active = m[:s1] != 0
+        n_sampled = m[s1 : 2 * s1]
+        sum_lp = m[2 * s1 : 3 * s1].view(np.float32)
+        tokens = m[3 * s1 :].reshape(s1, self.max_new)
+        done: list[_StreamJob] = []
+        for slot, job in list(self.jobs.items()):
+            if job.admit_step >= dispatch_no or active[slot]:
+                continue
+            self.jobs.pop(slot)
+            n = int(n_sampled[slot])
+            job.future.set_result(dict(
+                tokens=tokens[slot], n_sampled=n,
+                sum_logprob=float(sum_lp[slot]),
+                avg_logprob=float(sum_lp[slot]) / (n + 1),
+            ))
+            self.free.append(slot)
+            done.append(job)
+        return done
 
     def retire_finished(self) -> list[_StreamJob]:
         """Complete futures for every occupied slot whose decode finished
@@ -587,6 +651,11 @@ class StreamingDecodeServer:
         self._thread = threading.Thread(target=self._loop, name="slot-server", daemon=True)
         self._thread.start()
         self.steps_run = 0
+        # lagged-retirement snapshot: (packed meta handle, dispatch no) of a
+        # dispatch whose retirement fetch is deferred so it overlaps the
+        # NEXT dispatch's device execution (the fetch is ~one relay RTT,
+        # which previously idled the device every dispatch)
+        self._lag_meta: tuple[object, int] | None = None
 
     def submit(self, mel: np.ndarray, language: str | None = "en",
                task: str = "transcribe",
@@ -663,8 +732,28 @@ class StreamingDecodeServer:
                     # and work is waiting, or when every slot may be done
                     retire = ((self.steps_run % self.poll_interval == 0)
                               or (pending and not self.pool.free))
-                    self.pool.step(retire=retire, k=self.steps_per_dispatch)
+                    lagged = self._lag_meta
+                    self.pool.step(retire=False, k=self.steps_per_dispatch)
                     self.steps_run += 1
+                    if retire:
+                        if lagged is not None:
+                            # LAGGED retirement: fetch the previous
+                            # dispatch's packed meta while the dispatch just
+                            # enqueued executes — the retirement round trip
+                            # overlaps device compute instead of idling it
+                            self.pool.retire_from(*lagged)
+                            self._lag_meta = self.pool._last_meta
+                        elif pending or not self.pool.free:
+                            # saturated and no older snapshot yet: defer
+                            # this dispatch's retirement one iteration so
+                            # the overlap pipeline starts
+                            self._lag_meta = self.pool._last_meta
+                        else:
+                            # unsaturated (free slots, nothing queued):
+                            # synchronous retire keeps a trickle stream's
+                            # chunk-completion latency at one dispatch
+                            self.pool.retire_from(*self.pool._last_meta)
+                            self._lag_meta = None
                 except Exception as e:  # pragma: no cover
                     log.error("pool step failed: %s", e, exc_info=True)
                     for job in list(self.pool.jobs.values()):
@@ -672,6 +761,7 @@ class StreamingDecodeServer:
                             job.future.set_exception(e)
                     self.pool.jobs.clear()
                     self.pool.free = list(range(self.pool.S))
+                    self._lag_meta = None
 
     def stop(self) -> None:
         self._stop.set()

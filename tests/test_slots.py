@@ -282,3 +282,46 @@ def test_submit_stream_chunk_gating(engine, rng):
         assert engine.submit_stream_chunk(state, audio, nc) is not None
     finally:
         engine.disable_slot_serving()
+
+
+def test_lagged_retire_from_guards_recycled_slots(engine, rng):
+    """retire_from on a STALE meta snapshot (lagged retirement): a job
+    admitted into a recycled slot after the snapshot's dispatch must NOT be
+    retired by it — the snapshot's frozen values belong to the previous
+    occupant. Also checks the snapshot retires the finished occupant with
+    the same values the fresh path produces."""
+    from speaksense_tpu.runtime.slots import SlotPool, _StreamJob
+
+    pool = SlotPool(engine, n_slots=1, t_mel=512, max_new=4, ring_width=4)
+    tok = engine.tokenizer
+    mel = _mel(engine, rng, 0.1)
+
+    def job():
+        return _StreamJob(mel=np.asarray(mel), prompt=list(tok.sot_sequence("en")))
+
+    j1 = job()
+    assert pool.admit_many([j1]) == 1
+    # run j1 to its 4-token cap without retiring (ring_width 4 = one flush)
+    pool.step(retire=False, k=4)
+    snap = pool._last_meta
+    assert snap is not None and snap[1] == pool.step_calls
+    done = pool.retire_from(*snap)
+    assert done == [j1] and j1.future.done()
+    r1 = j1.future.result()
+    assert r1["n_sampled"] <= 4
+
+    # recycle the slot with a NEW job, then apply the OLD snapshot again:
+    # the guard (admit_step >= dispatch_no) must keep j2 in flight even
+    # though the stale meta shows the slot inactive
+    j2 = job()
+    assert pool.admit_many([j2]) == 1
+    assert pool.retire_from(*snap) == []
+    assert not j2.future.done()
+    # fresh dispatch + fresh snapshot retires j2 normally, same values as j1
+    # (same mel, same prompt, greedy)
+    pool.step(retire=False, k=4)
+    done2 = pool.retire_from(*pool._last_meta)
+    assert done2 == [j2]
+    r2 = j2.future.result()
+    assert r2["n_sampled"] == r1["n_sampled"]
+    np.testing.assert_array_equal(r1["tokens"], r2["tokens"])
