@@ -128,6 +128,10 @@ def bench_serve(model_name: str, emit: bool = True):
     denoise = os.environ.get("BENCH_SERVE_DENOISE", "1") not in ("", "0", "false")
     use_slots = os.environ.get("BENCH_SERVE_SLOTS", "1") not in ("", "0", "false")
     serve_k = int(os.environ.get("BENCH_SERVE_K", "16"))
+    # BASELINE config 4 names beam=5: BENCH_SERVE_BEAM=5 serves every stream
+    # through beam search (window batcher — the slot pool is greedy-only)
+    beam = int(os.environ.get("BENCH_SERVE_BEAM", "0"))
+    use_slots = use_slots and beam <= 1
     chunk_s = 5.0
     chunk_bytes = int(chunk_s * 16000) * 2
 
@@ -137,7 +141,8 @@ def bench_serve(model_name: str, emit: bool = True):
         W.init_params_np(dims))
     tok = Tokenizer.synthetic(dims.n_vocab)
     engine = WhisperEngine(params, dims, tok,
-                           config=EngineConfig(cross_kv_int8=True))
+                           config=EngineConfig(cross_kv_int8=True,
+                                               beam_size=beam))
     if use_slots:
         engine.enable_slot_serving(n_slots=n_streams, t_mel=512,
                                    max_new=max_new, int8_kv=True)
@@ -235,6 +240,7 @@ def bench_serve(model_name: str, emit: bool = True):
         "metric": f"{model_name} END-TO-END gRPC serving real-time factor "
                   f"({n_streams} concurrent streams, {chunk_s:.0f}s chunks, "
                   f"{'slot pool' if use_slots else 'window batcher'}, "
+                  f"{f'beam={beam}, ' if beam > 1 else ''}"
                   f"denoise={'on' if denoise else 'off'}, rules+stitching on)",
         "value": round(rtf, 2),
         "unit": "x_realtime",
