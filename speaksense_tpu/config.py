@@ -83,6 +83,11 @@ class Config:
     grpc_port: int = 7300           # reference src/main.rs:83-88
     log_dir: str = "./logs"
     etcd_required: bool = False     # reference hard-fails without etcd (src/main.rs:79); we tolerate absence
+    # concurrent Transcribe task workers: the reference runs one worker per
+    # task type (scheduler/mod.rs:26-32) because each whisper.cpp call owns
+    # the backend; here N workers' windows coalesce in the shared batcher,
+    # so parallel claims RAISE batch occupancy instead of contending
+    task_workers: int = 4
     engine: EngineConfig = field(default_factory=EngineConfig)
 
     @property
@@ -103,6 +108,7 @@ class Config:
             audio_path=_env("ASR_AUDIO_PATH", dotenv, DEFAULT_AUDIO_PATH),
             http_port=int(_env("ASR_HTTP_PORT", dotenv, "7200")),
             grpc_port=int(_env("ASR_GRPC_PORT", dotenv, "7300")),
+            task_workers=int(_env("SPEAKSENSE_TASK_WORKERS", dotenv, "4")),
         )
 
     def init_dirs(self) -> None:

@@ -55,8 +55,9 @@ def build_context(config: Config, engine):
     manager = TaskManager(task_storage)
     manager.register_processor(TranscribeProcessor(engine, audio_dir=config.audio_path))
     manager.register_processor(NoiseReductionProcessor(audio_dir=config.audio_path))
-    scheduler = create_scheduler(manager,
-                                 [TaskType.TRANSCRIBE, TaskType.NOISE_REDUCTION])
+    scheduler = create_scheduler(
+        manager, [TaskType.TRANSCRIBE, TaskType.NOISE_REDUCTION],
+        workers={TaskType.TRANSCRIBE: config.task_workers})
     return AppContext(auth=auth, task_manager=manager), scheduler
 
 

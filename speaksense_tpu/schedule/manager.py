@@ -82,8 +82,13 @@ class TaskManager:
             for task in candidates:
                 if task.id in self._processing:
                     continue
+                # atomic CAS in storage: the candidate snapshot is stale by
+                # now, and a fast task may have been claimed AND completed
+                # by a sibling worker (its _processing entry already popped)
+                # — the in-memory guard alone cannot see that
+                if not self.storage.claim(task.id):
+                    continue
                 self._processing[task.id] = time.monotonic()
-                self.storage.update(task.id, TaskStatus.processing())
                 task.status = TaskStatus.processing()
                 task.started_at = utcnow()
                 return task

@@ -102,10 +102,18 @@ class TaskScheduler:
 
 
 def create_scheduler(manager: TaskManager,
-                     task_types: list[TaskType] | None = None) -> TaskScheduler:
-    """Helper mirroring schedule/mod.rs:22-33."""
+                     task_types: list[TaskType] | None = None,
+                     workers: dict[TaskType, int] | None = None) -> TaskScheduler:
+    """Helper mirroring schedule/mod.rs:22-33.
+
+    workers: per-type worker count (default 1, the reference's model). The
+    reference is capped at one worker per type because each whisper.cpp call
+    owns the backend; here N Transcribe workers' windows coalesce in the
+    shared BatchedEngine, so parallel claims raise batch occupancy — typed
+    SQL claims (manager.get_next_task) make concurrent workers safe."""
     scheduler = TaskScheduler(manager)
     for t in task_types or [TaskType.TRANSCRIBE]:
-        scheduler.spawn_worker(t)
+        for _ in range(max(1, (workers or {}).get(t, 1))):
+            scheduler.spawn_worker(t)
     scheduler.run()
     return scheduler

@@ -16,6 +16,12 @@ if TYPE_CHECKING:  # avoid a schedule<->storage import cycle at runtime
     from speaksense_tpu.schedule.types import Task
 
 
+def _processing_status():
+    from speaksense_tpu.schedule.types import TaskStatus
+
+    return TaskStatus.processing()
+
+
 class TaskStorage(abc.ABC):
     @abc.abstractmethod
     def create(self, task: "Task") -> None: ...
@@ -31,6 +37,17 @@ class TaskStorage(abc.ABC):
 
     @abc.abstractmethod
     def update(self, task_id: str, status) -> None: ...
+
+    def claim(self, task_id: str) -> bool:
+        """Atomically transition task_id Pending/Retrying -> Processing;
+        False if it was already taken. The in-memory guard alone is not
+        enough under concurrent same-type workers: a candidate snapshot can
+        go claim->process->complete (guard entry popped) while another
+        worker still holds the stale Pending row. Default is the
+        unconditional update (single-worker semantics); atomic backends
+        override."""
+        self.update(task_id, _processing_status())
+        return True
 
     @abc.abstractmethod
     def delete(self, task_id: str) -> None: ...

@@ -246,6 +246,21 @@ class SqliteTaskStorage(_SqliteBase, TaskStorage):
             self._conn.execute(f"UPDATE tasks SET {', '.join(sets)} WHERE id = ?", args)
             self._conn.commit()
 
+    def claim(self, task_id: str) -> bool:
+        """Atomic Pending/Retrying -> Processing CAS (see TaskStorage.claim):
+        the WHERE status guard makes concurrent same-type workers safe — the
+        loser's UPDATE matches zero rows and it moves to the next candidate."""
+        now = _dt_to_db(_dt.datetime.now(_dt.timezone.utc))
+        with self._lock:
+            cur = self._conn.execute(
+                "UPDATE tasks SET status = ?, updated_at = ?, started_at = ? "
+                "WHERE id = ? AND status IN (?, ?)",
+                (_status_db(TaskStatus.processing()), now, now, task_id,
+                 _status_db(TaskStatus.pending()),
+                 _status_db(TaskStatus.retrying())))
+            self._conn.commit()
+        return cur.rowcount > 0
+
     def set_result(self, task_id: str, result: TaskResult) -> None:
         with self._lock:
             self._conn.execute(

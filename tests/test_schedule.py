@@ -227,3 +227,34 @@ def test_two_workers_two_types_under_contention(manager, tmp_path):
         assert all(s == TaskStatus.COMPLETED for s in statuses), statuses
     finally:
         scheduler.stop()
+
+def test_parallel_same_type_workers_each_task_once(manager, tmp_path):
+    """create_scheduler(workers={Transcribe: 3}): N same-type workers drain
+    one queue concurrently; typed SQL claims guarantee each task is processed
+    exactly once (the reference caps at one worker per type because each
+    whisper.cpp call owns the backend, scheduler/mod.rs:26-32 — here parallel
+    claims feed the shared batcher instead)."""
+    from speaksense_tpu.schedule.scheduler import create_scheduler
+
+    events = []
+    manager.register_function("collect", events.append)
+    tasks = [manager.create_task(_config(_wav(tmp_path, f"p{i}.wav"),
+                                         callback=CallbackType.function("collect")))
+             for i in range(9)]
+
+    scheduler = create_scheduler(manager, [TaskType.TRANSCRIBE],
+                                 workers={TaskType.TRANSCRIBE: 3})
+    assert len(scheduler.workers) == 3
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if all(manager.get_task(t.id).status.kind == TaskStatus.COMPLETED
+                   for t in tasks):
+                break
+            time.sleep(0.05)
+        statuses = [manager.get_task(t.id).status.kind for t in tasks]
+        assert all(s == TaskStatus.COMPLETED for s in statuses), statuses
+        completions = [e["task_id"] for e in events if e["kind"] == "complete"]
+        assert sorted(completions) == sorted(t.id for t in tasks)  # exactly once
+    finally:
+        scheduler.stop()
