@@ -40,7 +40,7 @@ def build_context(config: Config, engine):
     from speaksense_tpu.auth import Auth
     from speaksense_tpu.schedule.manager import TaskManager
     from speaksense_tpu.schedule.processors import (
-        NoiseReductionProcessor, TranscribeProcessor,
+        NoiseReductionProcessor, TranscribeProcessor, VoiceprintProcessor,
     )
     from speaksense_tpu.schedule.scheduler import create_scheduler
     from speaksense_tpu.schedule.types import TaskType
@@ -55,8 +55,11 @@ def build_context(config: Config, engine):
     manager = TaskManager(task_storage)
     manager.register_processor(TranscribeProcessor(engine, audio_dir=config.audio_path))
     manager.register_processor(NoiseReductionProcessor(audio_dir=config.audio_path))
+    manager.register_processor(VoiceprintProcessor(audio_dir=config.audio_path))
     scheduler = create_scheduler(
-        manager, [TaskType.TRANSCRIBE, TaskType.NOISE_REDUCTION],
+        manager,
+        [TaskType.TRANSCRIBE, TaskType.NOISE_REDUCTION,
+         TaskType.VOICEPRINT_RECOGNITION],
         workers={TaskType.TRANSCRIBE: config.task_workers})
     return AppContext(auth=auth, task_manager=manager), scheduler
 

@@ -115,6 +115,18 @@ class TranscribeProcessor(TaskProcessor):
                     start_time=s.start, end_time=s.end)
                 for s in result.segments
             ]
+            if getattr(p, "emotion_recognition", False):
+                # functional emotion_recognition (the reference accepts the
+                # flag at web/handlers/asr.rs:36-46 but never reads it):
+                # classify each segment's audio span prosodically
+                from speaksense_tpu.audio.emotion import classify_emotion
+
+                sr = 16000
+                for seg in segments:
+                    lo = max(0, int(seg.start_time * sr))
+                    hi = min(audio.size, int(seg.end_time * sr))
+                    if hi > lo:
+                        seg.emotion, _ = classify_emotion(audio[lo:hi], sr)
             return TaskResult.transcribe(
                 TranscribeTaskResult(text=result.full_text, segments=segments))
         finally:
@@ -164,3 +176,75 @@ class NoiseReductionProcessor(TaskProcessor):
         out_path = Path(self.audio_dir) / (path.stem + ".denoised.wav")
         write_wav(out_path, cleaned)
         return TaskResult(TaskType.NOISE_REDUCTION, {"output_path": str(out_path)})
+
+
+class VoiceprintProcessor(TaskProcessor):
+    """Functional VoiceprintRecognition task (the reference declares the
+    TaskType at types.rs:8-13 but never implements a processor): compute a
+    deterministic MFCC-statistics speaker embedding (audio/voiceprint.py)
+    and optionally verify it against a reference.
+
+    Params (plain dict, like the reference's untyped variants):
+      - ``compare_with``: path of a second audio file — result carries the
+        cosine similarity and a match verdict;
+      - ``reference_print``: a previously returned embedding (list[float])
+        to verify against instead;
+      - ``threshold``: similarity acceptance threshold (default
+        voiceprint.DEFAULT_THRESHOLD).
+    """
+
+    def __init__(self, audio_dir: str = "./asr_data/audio/"):
+        self.audio_dir = audio_dir
+
+    @property
+    def task_type(self) -> TaskType:
+        return TaskType.VOICEPRINT_RECOGNITION
+
+    def validate_params(self, config: TaskConfig) -> None:
+        if not config.input_path:
+            raise ValueError("input_path is required")
+        p = config.params.params if config.params else {}
+        ref = p.get("reference_print") if isinstance(p, dict) else None
+        if ref is not None:
+            from speaksense_tpu.audio.voiceprint import EMBED_DIM
+
+            if len(ref) != EMBED_DIM:
+                raise ValueError(
+                    f"reference_print must have {EMBED_DIM} dims, got {len(ref)}")
+
+    def _load(self, path_str: str, path_type: PathType) -> np.ndarray:
+        from speaksense_tpu.audio.io import load_audio
+
+        if path_type is PathType.URL:
+            from speaksense_tpu.utils.http import download_audio
+
+            return load_audio(download_audio(path_str, self.audio_dir))
+        path = Path(path_str)
+        if not path.is_file():
+            raise FileNotFoundError(f"input audio not found: {path}")
+        return load_audio(path)
+
+    def process(self, task: Task) -> TaskResult:
+        from speaksense_tpu.audio.voiceprint import (
+            DEFAULT_THRESHOLD, cosine_similarity, voiceprint_embedding,
+        )
+
+        cfg = task.config
+        p = cfg.params.params if cfg.params else {}
+        if not isinstance(p, dict):
+            p = {}
+        emb = voiceprint_embedding(self._load(cfg.input_path, cfg.path_type))
+        out: dict = {"embedding": [round(float(v), 6) for v in emb],
+                     "dim": int(emb.size)}
+        ref = None
+        if p.get("reference_print") is not None:
+            ref = np.asarray(p["reference_print"], np.float32)
+        elif p.get("compare_with"):
+            ref = voiceprint_embedding(
+                self._load(str(p["compare_with"]), PathType.LOCAL))
+        if ref is not None:
+            thr = float(p.get("threshold", DEFAULT_THRESHOLD))
+            sim = cosine_similarity(emb, ref)
+            out.update(similarity=round(sim, 6), threshold=thr,
+                       match=bool(sim >= thr))
+        return TaskResult(TaskType.VOICEPRINT_RECOGNITION, out)

@@ -172,16 +172,24 @@ class ResultSegment:
     speaker_id: int | None = None
     start_time: float = 0.0
     end_time: float = 0.0
+    # set only when TranscribeParams.emotion_recognition is on (the flag the
+    # reference accepts but never reads, web/handlers/asr.rs:36-46); emitted
+    # conditionally so the on-disk JSON stays byte-identical when off
+    emotion: str | None = None
 
     def to_json(self) -> dict:
-        return {"text": self.text, "speaker_id": self.speaker_id,
-                "start_time": self.start_time, "end_time": self.end_time}
+        d = {"text": self.text, "speaker_id": self.speaker_id,
+             "start_time": self.start_time, "end_time": self.end_time}
+        if self.emotion is not None:
+            d["emotion"] = self.emotion
+        return d
 
     @classmethod
     def from_json(cls, d: dict) -> "ResultSegment":
         return cls(text=d.get("text", ""), speaker_id=d.get("speaker_id"),
                    start_time=float(d.get("start_time", 0.0)),
-                   end_time=float(d.get("end_time", 0.0)))
+                   end_time=float(d.get("end_time", 0.0)),
+                   emotion=d.get("emotion"))
 
 
 @dataclass
