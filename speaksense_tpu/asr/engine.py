@@ -706,7 +706,12 @@ class WhisperEngine(AsrEngine):
         server = getattr(self, "_slot_server", None)
         if server is None:
             return None
-        audio = np.asarray(audio, np.float32).reshape(-1)
+        # s16 PCM passes through UNSCALED (wire-dtype admission: half the
+        # host->device bytes; the admit program dequantizes on device);
+        # anything else normalizes to f32
+        audio = np.asarray(audio).reshape(-1)
+        if audio.dtype != np.int16:
+            audio = audio.astype(np.float32, copy=False)
         n_frames = max(1, audio.size // MEL.HOP_LENGTH)
         if self._mel_bucket(n_frames) != server.pool.t_mel:
             return None

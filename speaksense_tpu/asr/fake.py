@@ -29,7 +29,13 @@ class FakeAsrEngine(AsrEngine):
 
     def transcribe_with_state(self, state, audio, params: AsrParams) -> TranscribeResult:
         self.calls.append(params)
-        audio = np.asarray(audio, np.float32).reshape(-1)
+        audio = np.asarray(audio).reshape(-1)
+        if audio.dtype == np.int16:
+            # engines accept wire-dtype s16 (the pipelined submit path keeps
+            # PCM unscaled until the device); normalize so transcripts hash
+            # identically across both representations
+            audio = audio.astype(np.float32) / 32767.0
+        audio = audio.astype(np.float32)
         dur = audio.size / self.sample_rate
         n_seg = max(1, int(np.ceil(dur / self.segment_seconds))) if audio.size else 0
         segments = []

@@ -205,6 +205,11 @@ class SlotPool:
             if from_audio:
                 from speaksense_tpu.audio import mel as MEL
 
+                if mel.dtype == jnp.int16:
+                    # wire-dtype admission: the host uploads s16 PCM (half
+                    # the relay bytes of f32); dequantize with the
+                    # reference's 1/32767 scaling (handlers/asr.rs:188-194)
+                    mel = mel.astype(jnp.float32) / 32767.0
                 if denoise:
                     # DSP on-device too (host denoise measured ~1/3 of
                     # end-to-end serving throughput at 64 streams); numpy
@@ -486,7 +491,8 @@ class SlotPool:
         # PREFIX, so only the leading same-kind run is taken)
         batch = []
         for j in jobs[:take]:
-            if (j.is_audio, j.denoise) != (jobs[0].is_audio, jobs[0].denoise):
+            if ((j.is_audio, j.denoise, j.mel.dtype)
+                    != (jobs[0].is_audio, jobs[0].denoise, jobs[0].mel.dtype)):
                 break
             batch.append(j)
         take = len(batch)
@@ -504,7 +510,7 @@ class SlotPool:
         valid = np.zeros((bucket,), bool)
         plen = np.ones((bucket,), np.int32)
         prompts = np.full((bucket, P), self.cfg.eot, np.int32)
-        mel = np.zeros((bucket,) + batch[0].mel.shape, np.float32)
+        mel = np.zeros((bucket,) + batch[0].mel.shape, batch[0].mel.dtype)
         for i, job in enumerate(batch):
             slot = self.free.pop()
             job.slot = slot
@@ -514,7 +520,8 @@ class SlotPool:
             mel[i] = job.mel
             self.jobs[slot] = job
 
-        key = (bucket, P, batch[0].is_audio, batch[0].denoise)
+        key = (bucket, P, batch[0].is_audio, batch[0].denoise,
+               batch[0].mel.dtype.str)
         fn = self._admit_fns.get(key)
         if fn is None:
             fn = self._admit_fns[key] = self._build_admit(
@@ -686,7 +693,12 @@ class StreamingDecodeServer:
         from speaksense_tpu.audio import mel as MEL
 
         n = self.pool.t_mel * MEL.HOP_LENGTH
-        a = np.asarray(audio, np.float32).reshape(-1)[:n]
+        # s16 PCM is uploaded AS-IS (wire dtype: half the relay bytes of
+        # f32) and dequantized inside the admission program; other dtypes
+        # normalize to f32 here
+        a = np.asarray(audio).reshape(-1)[:n]
+        if a.dtype != np.int16:
+            a = a.astype(np.float32, copy=False)
         if a.size < n:
             a = np.pad(a, (0, n - a.size))
         tok = self.engine.tokenizer
@@ -699,7 +711,10 @@ class StreamingDecodeServer:
         if denoise:
             from speaksense_tpu.audio.dsp import classify_noise
 
-            branch = classify_noise(a)  # host pick -> single-branch program
+            # classifier thresholds are amplitude-absolute: feed it the
+            # reference-scaled f32 view even when the upload stays s16
+            c = a.astype(np.float32) / 32767.0 if a.dtype == np.int16 else a
+            branch = classify_noise(c)  # host pick -> single-branch program
         job = _StreamJob(a, prompt, is_audio=True, denoise=branch)
         self._queue.put(job)
         return job.future

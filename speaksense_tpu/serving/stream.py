@@ -261,7 +261,14 @@ class StreamSession:
         """Submit one chunk's decode; returns a pending handle for settle().
         Falls back to a blocking inline decode when the engine has no
         nonblocking path (then the \"pending\" is just the result)."""
-        audio = pcm16le_to_f32(chunk)
+        # WIRE-DTYPE submission: keep the PCM as s16 until it reaches the
+        # engine — the slot pool uploads it as-is (HALF the host->device
+        # relay bytes of f32) and the admission program dequantizes on
+        # device. f32 conversion happens lazily, only on paths that need
+        # host-side DSP or the sequential engine call.
+        n = len(chunk) // 2 * 2
+        pcm = np.frombuffer(chunk[:n], "<i2")
+        audio: np.ndarray | None = None
         params = self.params
         if self.denoise:
             if getattr(self.engine, "device_denoise", False):
@@ -274,11 +281,13 @@ class StreamSession:
             else:
                 from speaksense_tpu.audio.dsp import DenoiseConfig, denoise_audio
 
-                audio = denoise_audio(audio, DenoiseConfig(post_gain=1.0))
+                audio = denoise_audio(pcm.astype(np.float32) / 32767.0,
+                                      DenoiseConfig(post_gain=1.0))
         submit = getattr(self.engine, "submit_stream_chunk", None)
         if submit is not None:
             try:
-                pending = submit(self.state, audio, params)
+                pending = submit(self.state, pcm if audio is None else audio,
+                                 params)
             except Exception as e:
                 log.error("ASR submission failed: %s", e)
                 return None
@@ -286,6 +295,8 @@ class StreamSession:
                 return pending
         # sequential path: decode NOW so the next chunk (conditioned on this
         # one) is only submitted after this result lands
+        if audio is None:
+            audio = pcm.astype(np.float32) / 32767.0
         try:
             return self.engine.transcribe_with_state(self.state, audio, params)
         except Exception as e:

@@ -325,3 +325,39 @@ def test_lagged_retire_from_guards_recycled_slots(engine, rng):
     r2 = j2.future.result()
     assert r2["n_sampled"] == r1["n_sampled"]
     np.testing.assert_array_equal(r1["tokens"], r2["tokens"])
+
+
+def test_submit_audio_int16_matches_f32(engine, rng):
+    """Wire-dtype admission: s16 PCM uploaded as-is and dequantized inside
+    the admission program must produce exactly the tokens of the f32 path
+    (the dequant is the same 1/32767 scaling the host applied before)."""
+    server = StreamingDecodeServer(engine, n_slots=2, t_mel=512, max_new=12)
+    try:
+        pcm = (rng.standard_normal(512 * 160) * 3000).astype(np.int16)
+        f32 = pcm.astype(np.float32) / 32767.0
+        r16 = server.submit_audio(pcm, language="en").result(timeout=300)
+        r32 = server.submit_audio(f32, language="en").result(timeout=300)
+        keys = {k[4] for k in server.pool._admit_fns if k[2]}
+        assert keys == {"<i2", "<f4"}, keys  # both wire dtypes compiled
+        assert r16["n_sampled"] == r32["n_sampled"]
+        np.testing.assert_array_equal(r16["tokens"], r32["tokens"])
+        np.testing.assert_allclose(r16["sum_logprob"], r32["sum_logprob"],
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        server.stop()
+
+
+def test_submit_audio_int16_denoise_matches_f32(engine, rng):
+    """Same parity with the device-denoise branch fused in (the host noise
+    classifier must see the scaled f32 view so the branch choice matches)."""
+    server = StreamingDecodeServer(engine, n_slots=2, t_mel=512, max_new=12)
+    try:
+        pcm = (rng.standard_normal(512 * 160) * 3000).astype(np.int16)
+        f32 = pcm.astype(np.float32) / 32767.0
+        r16 = server.submit_audio(pcm, language="en", denoise=True).result(timeout=300)
+        r32 = server.submit_audio(f32, language="en", denoise=True).result(timeout=300)
+        branches = {k[3] for k in server.pool._admit_fns if k[2]}
+        assert len(branches) == 1, branches  # same classifier branch
+        np.testing.assert_array_equal(r16["tokens"], r32["tokens"])
+    finally:
+        server.stop()
