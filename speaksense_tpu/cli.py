@@ -68,6 +68,42 @@ def cmd_quality(args):
     print(json.dumps(metrics.to_dict(), indent=2))
 
 
+def cmd_voiceprint(args):
+    from speaksense_tpu.audio.io import load_audio
+    from speaksense_tpu.audio.voiceprint import (
+        DEFAULT_THRESHOLD, cosine_similarity, voiceprint_embedding,
+    )
+
+    emb = voiceprint_embedding(load_audio(args.file))
+    if args.compare_with:
+        other = voiceprint_embedding(load_audio(args.compare_with))
+        sim = cosine_similarity(emb, other)
+        thr = args.threshold if args.threshold is not None else DEFAULT_THRESHOLD
+        print(json.dumps({"similarity": round(sim, 6), "threshold": thr,
+                          "match": sim >= thr}))
+    else:
+        print(json.dumps({"dim": int(emb.size),
+                          "embedding": [round(float(v), 6) for v in emb]}))
+
+
+def cmd_emotion(args):
+    from speaksense_tpu.audio.emotion import classify_emotion
+    from speaksense_tpu.audio.io import load_audio
+
+    label, feats = classify_emotion(load_audio(args.file))
+    print(json.dumps({"emotion": label, "features": feats.to_dict()}, indent=2))
+
+
+def cmd_denoise(args):
+    from speaksense_tpu.audio.dsp import DenoiseConfig, denoise_audio
+    from speaksense_tpu.audio.io import load_audio, write_wav
+
+    out = args.output or (args.file.rsplit(".", 1)[0] + ".denoised.wav")
+    write_wav(out, denoise_audio(load_audio(args.file),
+                                 DenoiseConfig(post_gain=1.0)))
+    print(out)
+
+
 def cmd_inspect_ggml(args):
     from speaksense_tpu.ckpt.ggml import load_ggml, _TYPE_NAMES
 
@@ -110,6 +146,21 @@ def main(argv=None):
     q = sub.add_parser("quality", help="audio quality metrics")
     q.add_argument("file")
     q.set_defaults(fn=cmd_quality)
+
+    v = sub.add_parser("voiceprint", help="speaker embedding / verification")
+    v.add_argument("file")
+    v.add_argument("--compare-with", help="second audio file to verify against")
+    v.add_argument("--threshold", type=float, default=None)
+    v.set_defaults(fn=cmd_voiceprint)
+
+    e = sub.add_parser("emotion", help="prosodic emotion classification")
+    e.add_argument("file")
+    e.set_defaults(fn=cmd_emotion)
+
+    dn = sub.add_parser("denoise", help="denoise a WAV (spectral DSP chain)")
+    dn.add_argument("file")
+    dn.add_argument("--output", help="output path (default <file>.denoised.wav)")
+    dn.set_defaults(fn=cmd_denoise)
 
     g = sub.add_parser("inspect-ggml", help="inspect a ggml checkpoint")
     g.add_argument("file")
