@@ -40,7 +40,8 @@ def cmd_transcribe(args):
     t0 = time.time()
     result = engine.transcribe_audio(audio, AsrParams(
         language=args.language, task=args.task,
-        speaker_diarization=args.diarize))
+        speaker_diarization=args.diarize,
+        word_timestamps=args.word_timestamps))
     dt = time.time() - t0
     dur = len(audio) / 16000.0
     if args.json:
@@ -48,6 +49,8 @@ def cmd_transcribe(args):
     else:
         for s in result.segments:
             print(f"[{s.start:8.2f} --> {s.end:8.2f}]  {s.text}")
+            for w in s.words or ():
+                print(f"    [{w['start']:7.2f} --> {w['end']:7.2f}] {w['word']}")
         print(f"\n{result.full_text}")
     print(f"\n# {dur:.1f}s audio in {dt:.2f}s — {dur / max(dt, 1e-9):.1f}x realtime "
           f"(lang={result.language})", file=sys.stderr)
@@ -134,6 +137,8 @@ def main(argv=None):
     t.add_argument("--language", default=None)
     t.add_argument("--task", default="transcribe", choices=["transcribe", "translate"])
     t.add_argument("--diarize", action="store_true")
+    t.add_argument("--word-timestamps", action="store_true",
+                   help="per-word times via cross-attention DTW (models/align.py)")
     t.add_argument("--json", action="store_true")
     common(t)
     t.set_defaults(fn=cmd_transcribe)
