@@ -10,6 +10,10 @@ Behavior mirror of /root/reference/src/asr/whisper.rs:
 
 from __future__ import annotations
 
+import functools
+import os
+import re
+
 # Same phrase set the reference filters (whisper.rs:9-14) — this is behavior
 # data, not code: the phrases are the Chinese "like/subscribe/donate" subtitle
 # hallucinations whisper emits on non-speech audio.
@@ -52,3 +56,50 @@ def compression_ratio(text: str) -> float:
     if not data:
         return 0.0
     return len(data) / len(zlib.compress(data))
+
+
+# --- dirty-word filtering (the reference accepts filter_dirty_words in its
+# transcribe API, web/handlers/asr.rs:36-46, but never reads it; here the
+# flag masks matches in the result text). The list is intentionally small
+# and conservative — production deployments supply their own via
+# extra_words / SPEAKSENSE_DIRTY_WORDS (comma-separated).
+
+_DIRTY_WORDS_EN = ("fuck", "fucking", "shit", "bitch", "asshole", "bastard",
+                   "dickhead", "cunt", "motherfucker")
+_DIRTY_WORDS_ZH = ("他妈的", "妈的", "操你", "傻逼", "混蛋", "王八蛋", "草泥马")
+_DIRTY_WORDS_JA = ("くそ", "クソ", "ちくしょう", "ばかやろう", "バカヤロウ")
+
+
+def _dirty_words() -> tuple[str, ...]:
+    extra = tuple(w for w in os.environ.get("SPEAKSENSE_DIRTY_WORDS", "").split(",") if w)
+    return _DIRTY_WORDS_EN + _DIRTY_WORDS_ZH + _DIRTY_WORDS_JA + extra
+
+
+@functools.lru_cache(maxsize=4)
+def _dirty_pattern(words: tuple[str, ...]):
+    # ASCII words match case-insensitively on word boundaries; CJK terms
+    # match as substrings (no word boundaries in zh/ja text)
+    ascii_words = [re.escape(w) for w in words if w.isascii()]
+    cjk_words = [re.escape(w) for w in words if not w.isascii()]
+    parts = []
+    if ascii_words:
+        parts.append(r"\b(?:%s)\b" % "|".join(ascii_words))
+    if cjk_words:
+        parts.append("(?:%s)" % "|".join(cjk_words))
+    return re.compile("|".join(parts), re.IGNORECASE)
+
+
+def filter_dirty_words(text: str, extra_words: tuple[str, ...] = ()) -> str:
+    """Mask profanity with '*' of the same length (first char kept for
+    ASCII words: "f***"). Deterministic and idempotent."""
+    if not text:
+        return text
+    pat = _dirty_pattern(_dirty_words() + tuple(extra_words))
+
+    def mask(m: "re.Match[str]") -> str:
+        w = m.group(0)
+        if w.isascii() and len(w) > 1:
+            return w[0] + "*" * (len(w) - 1)
+        return "*" * len(w)
+
+    return pat.sub(mask, text)

@@ -115,6 +115,15 @@ class TranscribeProcessor(TaskProcessor):
                     start_time=s.start, end_time=s.end)
                 for s in result.segments
             ]
+            full_text = result.full_text
+            if getattr(p, "filter_dirty_words", False):
+                # functional filter_dirty_words (the reference accepts the
+                # flag at web/handlers/asr.rs:36-46 but never reads it)
+                from speaksense_tpu.asr.postprocess import filter_dirty_words
+
+                full_text = filter_dirty_words(full_text)
+                for seg in segments:
+                    seg.text = filter_dirty_words(seg.text)
             if getattr(p, "emotion_recognition", False):
                 # functional emotion_recognition (the reference accepts the
                 # flag at web/handlers/asr.rs:36-46 but never reads it):
@@ -128,7 +137,7 @@ class TranscribeProcessor(TaskProcessor):
                     if hi > lo:
                         seg.emotion, _ = classify_emotion(audio[lo:hi], sr)
             return TaskResult.transcribe(
-                TranscribeTaskResult(text=result.full_text, segments=segments))
+                TranscribeTaskResult(text=full_text, segments=segments))
         finally:
             if delete_after:
                 try:

@@ -107,3 +107,58 @@ def test_transcribe_processor_annotates_segments(tmp_path):
     res_off = run(False)
     assert all(s.emotion is None for s in res_off.segments)
     assert "emotion" not in res_off.segments[0].to_json()
+
+
+def test_filter_dirty_words():
+    from speaksense_tpu.asr.postprocess import filter_dirty_words
+
+    assert filter_dirty_words("oh Shit happens") == "oh S*** happens"
+    assert filter_dirty_words("shitake mushrooms") == "shitake mushrooms"  # boundary
+    assert filter_dirty_words("他妈的天气") == "***天气"
+    assert filter_dirty_words("クソゲーだ") == "**ゲーだ"
+    assert filter_dirty_words("") == ""
+    masked = filter_dirty_words("fuck FUCK Fuck")
+    assert masked == "f*** F*** F***"
+    assert filter_dirty_words(masked) == masked  # idempotent
+    assert filter_dirty_words("darn", extra_words=("darn",)) == "d***"
+
+
+def test_transcribe_processor_filters_dirty_words(tmp_path):
+    """filter_dirty_words=True masks profanity in segment text and full_text
+    through the batch pipeline (fake engine monkeypatched transcript)."""
+    import wave
+
+    from speaksense_tpu.asr import (
+        AsrParams, TranscribeResult, TranscribeSegment,
+    )
+    from speaksense_tpu.asr.fake import FakeAsrEngine
+    from speaksense_tpu.schedule.processors import TranscribeProcessor
+    from speaksense_tpu.schedule.types import (
+        CallbackType, PathType, Task, TaskConfig, TaskParams, TaskStatus,
+        TaskType, TranscribeParams, utcnow,
+    )
+
+    p = tmp_path / "x.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes(np.zeros(SR, np.int16).tobytes())
+
+    class _Potty(FakeAsrEngine):
+        def transcribe_with_state(self, state, audio, params: AsrParams):
+            seg = TranscribeSegment(text="well shit that worked",
+                                    start=0.0, end=1.0, speaker_id=0)
+            return TranscribeResult(segments=[seg],
+                                    full_text=seg.text, language="en")
+
+    cfg = TaskConfig(
+        task_type=TaskType.TRANSCRIBE, input_path=str(p),
+        path_type=PathType.LOCAL, callback_type=CallbackType.none(),
+        params=TaskParams.transcribe(
+            TranscribeParams(language="en", filter_dirty_words=True)))
+    task = Task(id="t-dirty", config=cfg, status=TaskStatus.pending(),
+                created_at=utcnow(), updated_at=utcnow())
+    res = TranscribeProcessor(_Potty(), audio_dir=str(tmp_path)).process(task).result
+    assert res.text == "well s*** that worked"
+    assert res.segments[0].text == "well s*** that worked"
