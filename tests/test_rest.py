@@ -191,3 +191,42 @@ def test_metrics_and_health(stack):
         return True
 
     assert asyncio.run(_with_server(ctx, flow))
+
+
+def test_voiceprint_task_via_rest(stack):
+    """VoiceprintRecognition through POST /schedule/tasks: a worker claims,
+    the processor embeds + self-verifies, result lands in the task record."""
+    import time as _t
+
+    from speaksense_tpu.schedule.processors import VoiceprintProcessor
+
+    ctx, scheduler, _, wav = stack
+    ctx.task_manager.register_processor(
+        VoiceprintProcessor(audio_dir=str(wav.parent)))
+    scheduler.spawn_worker(TaskType.VOICEPRINT_RECOGNITION, poll_interval=0.05)
+
+    async def flow(client):
+        config = {
+            "task_type": "VoiceprintRecognition", "input_path": str(wav),
+            "path_type": "Local", "callback_type": {"type": "None"},
+            "params": {"type": "VoiceprintRecognition",
+                       "params": {"compare_with": str(wav)}},
+            "priority": "Normal", "retry_count": 0, "max_retries": 3,
+            "timeout": None}
+        resp = await client.post("/schedule/tasks", json=config)
+        assert resp.status == 201
+        task_id = (await resp.json())["data"]["id"]
+        import asyncio as _aio
+
+        for _ in range(100):
+            resp = await client.get(f"/schedule/tasks/{task_id}")
+            data = (await resp.json())["data"]
+            if data["status"] == "Completed":
+                break
+            await _aio.sleep(0.1)
+        assert data["status"] == "Completed", data["status"]
+        r = data["result"]["result"]
+        assert r["dim"] == len(r["embedding"])
+        assert r["match"] is True and r["similarity"] == 1.0
+
+    asyncio.run(_with_server(ctx, flow))
