@@ -68,9 +68,9 @@ class Auth:
         self.key_storage.update_status(api_key, KeyStatus.SUSPENDED)
 
     def _update_key_stats(self, api_key: str) -> None:
-        stats = self.stats_storage.get_stats(api_key) or ApiKeyStats()
-        stats.update()
-        self.stats_storage.update_stats(api_key, stats)
+        # increment-style fast path (SQL backends avoid re-reading and
+        # rewriting the 30-day history on every verified request)
+        self.stats_storage.bump_stats(api_key)
 
     def get_key_stats(self, api_key: str) -> ApiKeyStats:
         if self.key_storage.get(api_key) is None:

@@ -159,3 +159,24 @@ class BatchedEngine(AsrEngine):
 
     def detect_language(self, audio) -> str:
         return self.engine.detect_language(audio)
+
+    # ---------------------------------------------- slot-pool fast paths
+    # StreamSession probes its engine for these (serving/stream.py); the
+    # production composition root hands GrpcServer THIS wrapper (main.py
+    # build_engine), so without forwarding the device-denoise, session-
+    # pipelining, and s16 wire-dtype paths would be bench-only: the bench
+    # drives a raw WhisperEngine, production would silently fall back to
+    # host denoise + sequential chunks (caught by review; pinned by
+    # tests/test_batcher.py::test_batched_engine_forwards_slot_paths).
+
+    @property
+    def device_denoise(self) -> bool:
+        return bool(getattr(self.engine, "device_denoise", False))
+
+    def submit_stream_chunk(self, state, audio, params: AsrParams):
+        submit = getattr(self.engine, "submit_stream_chunk", None)
+        if submit is None:
+            return None
+        # None (off-bucket / conditioning / no pool) -> the caller takes the
+        # sequential path through transcribe_with_state, i.e. the batcher
+        return submit(state, audio, params)

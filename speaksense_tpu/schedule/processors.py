@@ -217,9 +217,11 @@ class VoiceprintProcessor(TaskProcessor):
         if ref is not None:
             from speaksense_tpu.audio.voiceprint import EMBED_DIM
 
-            if len(ref) != EMBED_DIM:
+            if (isinstance(ref, (str, bytes)) or not hasattr(ref, "__len__")
+                    or len(ref) != EMBED_DIM
+                    or not all(isinstance(v, (int, float)) for v in ref)):
                 raise ValueError(
-                    f"reference_print must have {EMBED_DIM} dims, got {len(ref)}")
+                    f"reference_print must be a list of {EMBED_DIM} floats")
 
     def _load(self, path_str: str, path_type: PathType) -> np.ndarray:
         from speaksense_tpu.audio.io import load_audio

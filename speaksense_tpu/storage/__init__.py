@@ -85,3 +85,15 @@ class ApiKeyStatsStorage(abc.ABC):
 
     @abc.abstractmethod
     def update_stats(self, api_key: str, stats) -> None: ...
+
+    def bump_stats(self, api_key: str) -> None:
+        """Record one request NOW — the auth hot path (every verified call,
+        auth/service.py). Default is the reference's read-modify-write
+        shape (service.rs:124-132); SQL backends override with an
+        increment-style fast path so a counter bump doesn't re-read and
+        rewrite the whole 30-day history per request."""
+        from speaksense_tpu.auth.types import ApiKeyStats
+
+        stats = self.get_stats(api_key) or ApiKeyStats()
+        stats.update()
+        self.update_stats(api_key, stats)

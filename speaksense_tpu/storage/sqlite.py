@@ -449,3 +449,38 @@ class SqliteKeyStorage(_SqliteBase, KeyStorage, ApiKeyStatsStorage):
                 "DELETE FROM api_key_daily_usage WHERE key = ? AND date < ?",
                 (api_key, cutoff))
             self._conn.commit()
+
+    def bump_stats(self, api_key: str) -> None:
+        """Auth hot path override (see ApiKeyStatsStorage.bump_stats): one
+        increment upsert on today's daily row + one counter-row upsert,
+        instead of reading and rewriting the whole 30-day history per
+        request. Pruning runs only on date rollover."""
+        now_dt = _dt.datetime.now(_dt.timezone.utc)
+        now = _dt_to_db(now_dt)
+        today = now_dt.date().isoformat()
+        cutoff = (now_dt - _dt.timedelta(days=30)).date().isoformat()
+        with self._lock:
+            self._conn.execute(
+                "INSERT INTO api_key_daily_usage (key, date, requests) "
+                "VALUES (?,?,1) ON CONFLICT(key, date) DO UPDATE SET "
+                "requests = requests + 1", (api_key, today))
+            (today_n,) = self._conn.execute(
+                "SELECT requests FROM api_key_daily_usage WHERE key = ? AND "
+                "date = ?", (api_key, today)).fetchone()
+            rollover = today_n == 1  # first request of a new day
+            self._conn.execute(
+                "INSERT INTO api_key_stats (key, requests_today, "
+                "requests_this_hour, requests_this_minute, last_request_at, "
+                "total_requests, total_tokens, total_audio_seconds, "
+                "updated_at) VALUES (?,?,0,0,?,1,0,0,?) "
+                "ON CONFLICT(key) DO UPDATE SET "
+                "requests_today = excluded.requests_today, "
+                "last_request_at = excluded.last_request_at, "
+                "total_requests = total_requests + 1, "
+                "updated_at = excluded.updated_at",
+                (api_key, int(today_n), now, now))
+            if rollover:
+                self._conn.execute(
+                    "DELETE FROM api_key_daily_usage WHERE key = ? AND date < ?",
+                    (api_key, cutoff))
+            self._conn.commit()

@@ -136,3 +136,39 @@ def test_config_beam_size_reaches_batched_decode(rng):
         assert beam_keys[0][-1] == 2  # the configured width
     finally:
         batched.stop()
+
+
+def test_batched_engine_forwards_slot_paths(rng):
+    """The production composition root wraps the engine in BatchedEngine
+    (main.build_engine); StreamSession probes that WRAPPER for
+    device_denoise / submit_stream_chunk, so the wrapper must forward them
+    or device denoise, session pipelining, and s16 wire-dtype uploads are
+    silently bench-only (caught by round-2 review)."""
+    import jax
+
+    params = init_params(TINY_DIMS, jax.random.PRNGKey(0))
+    tok = Tokenizer.synthetic(TINY_DIMS.n_vocab)
+    eng = WhisperEngine(params, TINY_DIMS, tok,
+                        config=EngineConfig(compute_dtype="float32"))
+    batched = BatchedEngine(eng)
+    try:
+        assert batched.device_denoise is False  # no pool yet
+        assert batched.submit_stream_chunk(
+            None, np.zeros(512 * 160, np.int16),
+            AsrParams(language="en", stream_mode=True)) is None
+
+        eng.enable_slot_serving(n_slots=2, t_mel=512, max_new=8)
+        assert batched.device_denoise is True
+        pcm = (rng.standard_normal(512 * 160) * 3000).astype(np.int16)
+        pending = batched.submit_stream_chunk(
+            eng.create_state(), pcm, AsrParams(language="en", stream_mode=True))
+        assert pending is not None
+        result = pending.settle()
+        assert result is not None  # decoded through the pool, s16 admitted
+        keys = {k[4] for k in eng._slot_server.pool._admit_fns if k[2]}
+        assert "<i2" in keys, keys
+    finally:
+        if getattr(eng, "_slot_server", None) is not None:
+            eng._slot_server.stop()
+            eng._slot_server = None
+        batched.stop()

@@ -310,3 +310,43 @@ def test_settle_error_does_not_shift_later_timestamps():
     # (same text, same absolute ms — the failed block still ticked the clock)
     assert got == [want[0], want[2]]
     assert s.ctx.block_index == 3
+
+
+def test_wav_header_split_across_packets():
+    """A LIST/INFO chunk can push fmt/data past the first inbound packet;
+    the session must keep buffering instead of rejecting the stream as
+    malformed (round-2 review finding)."""
+    from speaksense_tpu.asr.fake import FakeAsrEngine
+    from speaksense_tpu.serving.stream import StreamSession
+
+    wav = bytearray(_wav_bytes(0.5))
+    # splice a 100-byte LIST chunk right after "RIFF....WAVE"
+    list_chunk = b"LIST" + (100).to_bytes(4, "little") + b"INFO" + b"\0" * 96
+    wav = bytes(wav[:12]) + list_chunk + bytes(wav[12:])
+
+    s = StreamSession(FakeAsrEngine(), language="en", denoise=False,
+                      audio_format="WAV")
+    # first packet ends mid-LIST: >44 bytes buffered but header unresolved
+    assert s.feed(_b64(wav[:64])) == []
+    assert not s._format_checked
+    s.feed(_b64(wav[64:]))
+    assert s._format_checked
+    assert len(s.buffer) == int(16000 * 0.5) * 2  # payload only
+
+
+def test_wav_header_truly_malformed_rejected():
+    import pytest
+
+    from speaksense_tpu.asr.fake import FakeAsrEngine
+    from speaksense_tpu.serving.stream import (
+        StreamSession, UnsupportedStreamFormat,
+    )
+
+    # RIFF/WAVE followed by one absurd chunk whose declared size swallows
+    # >64 KiB: unresolvable header must reject, not buffer forever
+    bad = (b"RIFF" + (10**6).to_bytes(4, "little") + b"WAVE"
+           + b"JUNK" + (10**6).to_bytes(4, "little") + b"\0" * (70 * 1024))
+    s = StreamSession(FakeAsrEngine(), language="en", denoise=False,
+                      audio_format="WAV")
+    with pytest.raises(UnsupportedStreamFormat, match="malformed"):
+        s.feed(_b64(bad))
