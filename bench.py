@@ -156,15 +156,16 @@ def bench_serve(model_name: str, emit: bool = True):
                                                beam_size=beam,
                                                max_batch_size=max_batch,
                                                **thresh))
+    from speaksense_tpu.runtime.batcher import BatchedEngine
+
     if use_slots:
         engine.enable_slot_serving(n_slots=n_streams, t_mel=512,
                                    max_new=max_new, int8_kv=True)
         engine._slot_server.steps_per_dispatch = serve_k
-        serving_engine = engine
-    else:
-        from speaksense_tpu.runtime.batcher import BatchedEngine
-
-        serving_engine = BatchedEngine(engine)
+    # production shape (main.build_engine): the gRPC server always sees the
+    # BatchedEngine wrapper, which forwards the slot-pool fast paths
+    # (device_denoise / submit_stream_chunk) to the inner engine
+    serving_engine = BatchedEngine(engine)
 
     rng = np.random.default_rng(0)
     pcm = (rng.standard_normal(int(chunk_s * 16000)) * 1500).astype(np.int16)
@@ -240,9 +241,8 @@ def bench_serve(model_name: str, emit: bool = True):
             "step_calls": d_steps,
             "admit_calls": d_admits,
         }
-    if not use_slots:
-        serving_engine.stop()
-    else:
+    serving_engine.stop()
+    if use_slots:
         engine.disable_slot_serving()
     rtf = n_streams * n_chunks * chunk_s / wall
     lat_sorted = sorted(latencies)
@@ -707,4 +707,5 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()  # mode handlers return result dicts — not exit codes
+    sys.exit(0)
