@@ -120,6 +120,25 @@ class SlotPool:
         # S+1 rows: row S is a SCRATCH slot — batched admissions pad their
         # slot-index vector with S, so dummy rows scatter harmlessly into it
         # (its active flag is always forced False)
+        self._dtype = dtype
+        self._t_text = t_text
+        self._init_state()
+        # telemetry: admission batching + occupancy (serving-tuning data)
+        self.admit_calls = 0
+        self.admit_rows = 0
+        self.step_calls = 0
+        self.occupancy_sum = 0
+        self._admit_fns: dict[tuple, object] = {}
+        self._step_fns: dict[tuple[int, bool], object] = {}
+
+    def _init_state(self) -> None:
+        """(Re)build the device-resident pool state and its host mirrors.
+        Called from __init__ and from reset() after a failed donated
+        dispatch poisons the state (the donated buffer is deleted even when
+        the program errors, so recovery must start from fresh pages)."""
+        S, dims, dtype, t_text = self.S, self.dims, self._dtype, self._t_text
+        self_int8, int8_kv, ring_width = self.self_int8, self.int8_kv, self.ring_width
+        max_new = self.max_new
         cache = W.init_cache(dims, S + 1, self.n_audio_ctx, dtype=dtype,
                              self_kv_int8=self_int8, t_text=t_text)
         if int8_kv:
@@ -166,18 +185,32 @@ class SlotPool:
                 ppad=jnp.ones((S + 1,), jnp.int32))
         self.free: list[int] = list(range(S))
         self.jobs: dict[int, _StreamJob] = {}
-        # telemetry: admission batching + occupancy (serving-tuning data)
-        self.admit_calls = 0
-        self.admit_rows = 0
-        self.step_calls = 0
-        self.occupancy_sum = 0
         self.ring_fill = 0   # host mirror of ring_n (deterministic)
         self.gstep_host = 0  # host mirror of state["gstep"]
-        self._admit_fns: dict[tuple[int, int], object] = {}
-        self._step_fns: dict[tuple[int, bool], object] = {}
         # (packed-meta device handle, dispatch number) of the newest step
         # dispatch — fetched by retire_from, possibly one dispatch later
         self._last_meta: tuple[object, int] | None = None
+
+    def reset(self, error: Exception | None = None) -> None:
+        """Fail every registered job and rebuild the pool from fresh state.
+        The recovery path after a dispatch failure: step/admit programs
+        donate the state, so a runtime failure deletes the old buffers —
+        continuing from them raises 'Array has been deleted' forever."""
+        err = error or RuntimeError("slot pool reset")
+        for job in self.jobs.values():
+            if not job.future.done():
+                job.future.set_exception(err)
+        self.jobs.clear()
+        self._init_state()
+
+    def state_healthy(self) -> bool:
+        """False when the device state was poisoned by a failed donated
+        dispatch (its buffers are deleted)."""
+        try:
+            jax.block_until_ready(self.state["active"])
+            return True
+        except Exception:
+            return False
 
     # ---------------------------------------------------------------- jitted
 
@@ -306,7 +339,6 @@ class SlotPool:
         assert not ring_mode or k <= W_ring, (
             f"steps_per_dispatch {k} overflows the {W_ring}-row KV ring")
 
-        import os
 
         # profiling-only ablation knob (tools/microbench_slots.py): skip the
         # logit-rule chain to isolate its share of the step time
@@ -511,25 +543,41 @@ class SlotPool:
         plen = np.ones((bucket,), np.int32)
         prompts = np.full((bucket, P), self.cfg.eot, np.int32)
         mel = np.zeros((bucket,) + batch[0].mel.shape, batch[0].mel.dtype)
-        for i, job in enumerate(batch):
-            slot = self.free.pop()
-            job.slot = slot
-            job.admit_step = self.step_calls
-            slots[i], valid[i], plen[i] = slot, True, len(job.prompt)
-            prompts[i, : len(job.prompt)] = job.prompt
-            mel[i] = job.mel
-            self.jobs[slot] = job
+        try:
+            for i, job in enumerate(batch):
+                slot = self.free.pop()
+                job.slot = slot
+                job.admit_step = self.step_calls
+                slots[i], valid[i], plen[i] = slot, True, len(job.prompt)
+                prompts[i, : len(job.prompt)] = job.prompt
+                mel[i] = job.mel
+                self.jobs[slot] = job
 
-        key = (bucket, P, batch[0].is_audio, batch[0].denoise,
-               batch[0].mel.dtype.str)
-        fn = self._admit_fns.get(key)
-        if fn is None:
-            fn = self._admit_fns[key] = self._build_admit(
-                bucket, P, from_audio=batch[0].is_audio,
-                denoise=batch[0].denoise)
-        self.state = fn(self.engine.params, self.state, jnp.asarray(mel),
-                        jnp.asarray(slots), jnp.asarray(prompts),
-                        jnp.asarray(plen), jnp.asarray(valid))
+            key = (bucket, P, batch[0].is_audio, batch[0].denoise,
+                   batch[0].mel.dtype.str)
+            fn = self._admit_fns.get(key)
+            if fn is None:
+                fn = self._admit_fns[key] = self._build_admit(
+                    bucket, P, from_audio=batch[0].is_audio,
+                    denoise=batch[0].denoise)
+            self.state = fn(self.engine.params, self.state, jnp.asarray(mel),
+                            jnp.asarray(slots), jnp.asarray(prompts),
+                            jnp.asarray(plen), jnp.asarray(valid))
+        except Exception as e:
+            # roll the batch back (an admission failure — bad mel shape,
+            # compile error — must not kill the server thread or strand
+            # these futures; the OTHER slots are untouched unless the
+            # donated dispatch actually ran, which the server loop checks
+            # via state_healthy)
+            for job in batch:
+                if job.slot >= 0 and self.jobs.get(job.slot) is job:
+                    del self.jobs[job.slot]
+                    self.free.append(job.slot)
+                    job.slot = -1
+                if not job.future.done():
+                    job.future.set_exception(e)
+            del jobs[:take]          # caller must not resubmit the batch
+            raise
         self.admit_calls += 1
         self.admit_rows += take
         return take
@@ -595,15 +643,18 @@ class SlotPool:
             if job.admit_step >= dispatch_no or active[slot]:
                 continue
             self.jobs.pop(slot)
-            n = int(n_sampled[slot])
-            job.future.set_result(dict(
-                tokens=tokens[slot], n_sampled=n,
-                sum_logprob=float(sum_lp[slot]),
-                avg_logprob=float(sum_lp[slot]) / (n + 1),
-            ))
-            self.free.append(slot)
+            self._complete(job, slot, tokens[slot], int(n_sampled[slot]),
+                           float(sum_lp[slot]))
             done.append(job)
         return done
+
+    def _complete(self, job: _StreamJob, slot: int, tokens, n: int,
+                  sum_lp: float) -> None:
+        job.future.set_result(dict(
+            tokens=tokens, n_sampled=n, sum_logprob=sum_lp,
+            avg_logprob=sum_lp / (n + 1),
+        ))
+        self.free.append(slot)
 
     def retire_finished(self) -> list[_StreamJob]:
         """Complete futures for every occupied slot whose decode finished
@@ -620,13 +671,8 @@ class SlotPool:
         done: list[_StreamJob] = []
         for slot in done_slots:
             job = self.jobs.pop(slot)
-            n = int(n_sampled[slot])
-            job.future.set_result(dict(
-                tokens=tokens[slot], n_sampled=n,
-                sum_logprob=float(sum_lp[slot]),
-                avg_logprob=float(sum_lp[slot]) / (n + 1),
-            ))
-            self.free.append(slot)
+            self._complete(job, slot, tokens[slot], int(n_sampled[slot]),
+                           float(sum_lp[slot]))
             done.append(job)
         return done
 
@@ -664,20 +710,24 @@ class StreamingDecodeServer:
         # which previously idled the device every dispatch)
         self._lag_meta: tuple[object, int] | None = None
 
-    def submit(self, mel: np.ndarray, language: str | None = "en",
-               task: str = "transcribe",
-               context: list[int] | None = None) -> Future:
-        """context: previous-text conditioning tokens. Prepended as
-        [<|startofprev|>] + context[-cap:] + SOT sequence, truncated from
+    def _build_prompt(self, language: str | None, task: str,
+                      context: list[int] | None) -> list[int]:
+        """[<|startofprev|>] + context[-cap:] + SOT sequence, truncated from
         the left to the pool's max_prompt budget (16-token pools carry no
         context; construct with max_prompt=64 for conditioned streaming)."""
         tok = self.engine.tokenizer
         sot = list(tok.sot_sequence(language or "en", task=task))
-        prompt = sot
         cap = self.pool.max_prompt - len(sot) - 1
         if context and cap > 0:
-            prompt = [tok.sot_prev] + list(context)[-cap:] + sot
-        job = _StreamJob(np.asarray(mel), prompt)
+            return [tok.sot_prev] + list(context)[-cap:] + sot
+        return sot
+
+    def submit(self, mel: np.ndarray, language: str | None = "en",
+               task: str = "transcribe",
+               context: list[int] | None = None) -> Future:
+        """context: previous-text conditioning tokens (see _build_prompt)."""
+        job = _StreamJob(np.asarray(mel),
+                         self._build_prompt(language, task, context))
         self._queue.put(job)
         return job.future
 
@@ -701,12 +751,7 @@ class StreamingDecodeServer:
             a = a.astype(np.float32, copy=False)
         if a.size < n:
             a = np.pad(a, (0, n - a.size))
-        tok = self.engine.tokenizer
-        sot = list(tok.sot_sequence(language or "en", task=task))
-        prompt = sot
-        cap = self.pool.max_prompt - len(sot) - 1
-        if context and cap > 0:
-            prompt = [tok.sot_prev] + list(context)[-cap:] + sot
+        prompt = self._build_prompt(language, task, context)
         branch = None
         if denoise:
             from speaksense_tpu.audio.dsp import classify_noise
@@ -733,7 +778,19 @@ class StreamingDecodeServer:
                 except queue.Empty:
                     break
             while pending and self.pool.free:
-                n = self.pool.admit_many(pending)
+                try:
+                    n = self.pool.admit_many(pending)
+                except Exception as e:
+                    # admit_many already failed the batch's futures and
+                    # rolled its slots back; if the dispatch ran far enough
+                    # to consume the donated state, rebuild the pool (every
+                    # then-active job is failed by reset) — otherwise the
+                    # other slots are untouched and serving continues
+                    log.error("admission failed: %s", e, exc_info=True)
+                    if not self.pool.state_healthy():
+                        self.pool.reset(e)
+                        self._lag_meta = None
+                    break
                 if n == 0:
                     break
                 del pending[:n]
@@ -771,13 +828,31 @@ class StreamingDecodeServer:
                             self._lag_meta = None
                 except Exception as e:  # pragma: no cover
                     log.error("pool step failed: %s", e, exc_info=True)
-                    for job in list(self.pool.jobs.values()):
+                    # the step donated the state: rebuild from fresh pages
+                    # (continuing from a deleted buffer raises forever) and
+                    # fail queued-but-unadmitted jobs too — their streams
+                    # would otherwise block on future.result() for good
+                    self.pool.reset(e)
+                    for job in pending:
                         if not job.future.done():
                             job.future.set_exception(e)
-                    self.pool.jobs.clear()
-                    self.pool.free = list(range(self.pool.S))
+                    pending.clear()
                     self._lag_meta = None
 
     def stop(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5.0)
+        # resolve every stranded future: settlers block on future.result()
+        # with no timeout, so an unresolved job would hang its gRPC
+        # executor thread forever (round-2 review)
+        err = RuntimeError("slot server stopped")
+        leftovers = list(self.pool.jobs.values())
+        self.pool.jobs.clear()
+        while True:
+            try:
+                leftovers.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for job in leftovers:
+            if not job.future.done():
+                job.future.set_exception(err)

@@ -69,8 +69,12 @@ class AsrService:
             import os
             from concurrent.futures import ThreadPoolExecutor
 
+            # pipelining runs TWO concurrent executor calls per stream
+            # (ingest + settle), so 64 streams need up to 128 threads +
+            # headroom — 96 measured as "plenty" pre-pipelining but would
+            # queue settles behind the pool at full occupancy (review)
             executor = ThreadPoolExecutor(
-                max_workers=int(os.environ.get("SPEAKSENSE_STREAM_THREADS", "96")),
+                max_workers=int(os.environ.get("SPEAKSENSE_STREAM_THREADS", "160")),
                 thread_name_prefix="stream-session")
         self._executor = executor
 
@@ -125,6 +129,13 @@ class AsrService:
                         yield _event_to_response(ev)
                     return
                 elif kind == "eos":
+                    # client half-closed WITHOUT end=1: deliberate reference
+                    # parity — the original's ingest loop just ends, the
+                    # buffered tail (< one chunk) is dropped and no end
+                    # marker is sent (handlers/asr.rs:169-265; only end==1
+                    # reaches the flush at :247). Clients wanting the tail
+                    # transcribed must send end=1, as the example client
+                    # does (asr_client.rs:178).
                     return
                 else:
                     raise payload

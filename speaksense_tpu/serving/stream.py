@@ -85,8 +85,12 @@ def _strip_wav_header(buf: bytes) -> bytes | None:
             data_off = pos + 8
             break
         pos += 8 + size + (size & 1)
+    if data_off is not None and (fmt is None or len(fmt) < 16):
+        # data chunk reached without a usable fmt chunk before it: more
+        # bytes can never fix this — reject instead of buffering forever
+        raise UnsupportedStreamFormat("malformed WAV header in stream")
     if fmt is None or data_off is None or len(fmt) < 16:
-        if pos > 65536:
+        if pos > 65536 or len(buf) > 65536:
             raise UnsupportedStreamFormat("malformed WAV header in stream")
         return None  # header continues in a later packet
     audio_fmt = int.from_bytes(fmt[0:2], "little")
@@ -244,6 +248,12 @@ class StreamSession:
         self.params = AsrParams(language=language, stream_mode=True, min_segment_length=5)
         self.device_id = device_id
         self.denoise = denoise
+        if not 0 <= overlap_bytes < chunk_bytes:
+            # overlap >= chunk would make ingest()'s chunk loop never shrink
+            # the buffer: the same chunk resubmits forever (livelock)
+            raise ValueError(
+                f"overlap_bytes ({overlap_bytes}) must be in [0, chunk_bytes"
+                f"={chunk_bytes})")
         self.chunk_bytes = chunk_bytes
         self.overlap_bytes = overlap_bytes
         self.audio_format = audio_format

@@ -361,3 +361,56 @@ def test_submit_audio_int16_denoise_matches_f32(engine, rng):
         np.testing.assert_array_equal(r16["tokens"], r32["tokens"])
     finally:
         server.stop()
+
+
+def test_admission_failure_does_not_kill_server(engine, rng):
+    """A bad submission (wrong mel shape) must fail ITS future and leave the
+    server thread + other streams healthy (round-2 review: admission ran
+    unguarded in the server loop; one bad job hung every future forever)."""
+    server = StreamingDecodeServer(engine, n_slots=2, max_new=8)
+    try:
+        bad = server.submit(np.zeros((7, 3), np.float32))  # wrong shape
+        with pytest.raises(Exception):
+            bad.result(timeout=120)
+        assert server._thread.is_alive()
+        good = server.submit(_mel(engine, rng))
+        r = good.result(timeout=300)   # server still serves
+        assert 0 <= r["n_sampled"] <= 8
+        assert sorted(server.pool.free) == [0, 1]
+    finally:
+        server.stop()
+
+
+def test_stop_resolves_stranded_futures(engine, rng):
+    """stop() must fail queued/in-flight futures instead of stranding
+    settlers that block on future.result() with no timeout."""
+    server = StreamingDecodeServer(engine, n_slots=2, max_new=8)
+    server._stop.set()            # freeze the loop before it can drain
+    server._thread.join(timeout=10)
+    fut = server.submit(_mel(engine, rng))   # lands in the dead queue
+    server.stop()
+    with pytest.raises(RuntimeError, match="slot server stopped"):
+        fut.result(timeout=10)
+
+
+def test_pool_reset_fails_jobs_and_rebuilds():
+    """reset() fails registered jobs and rebuilds fresh device state."""
+    import jax
+
+    from speaksense_tpu.runtime.slots import SlotPool, _StreamJob
+
+    params = init_params(DIMS, jax.random.PRNGKey(0))
+    tok = Tokenizer.synthetic(DIMS.n_vocab)
+    eng = WhisperEngine(params, DIMS, tok,
+                        config=EngineConfig(compute_dtype="float32"))
+    pool = SlotPool(eng, n_slots=2, t_mel=512, max_new=8)
+    job = _StreamJob(np.zeros((512, DIMS.n_mels), np.float32),
+                     prompt=list(tok.sot_sequence("en")))
+    assert pool.admit_many([job]) == 1
+    assert pool.n_active == 1
+    pool.reset(RuntimeError("boom"))
+    with pytest.raises(RuntimeError, match="boom"):
+        job.future.result(timeout=10)
+    assert pool.n_active == 0
+    assert sorted(pool.free) == [0, 1]
+    assert pool.state_healthy()
