@@ -447,11 +447,26 @@ class WhisperEngine(AsrEngine):
         language = params.language or (
             self.detect_language(audio) if self.tokenizer.multilingual else "en")
         if decode_window is None:
-            decode_window = (lambda mel, lang, task, sns, context=None:
+            decode_window = (lambda mel, lang, task, sns, context=None,
+                             speaker_diarization=False, temperature=0.0:
                              self.decode_windows(
                                  mel, lang, task=task, suppress_non_speech=sns,
-                                 speaker_diarization=params.speaker_diarization,
+                                 speaker_diarization=speaker_diarization,
+                                 temperatures=([temperature] if temperature
+                                               else None),
                                  context_tokens=[context] if context else None)[0])
+        # probe the hook's signature ONCE instead of try/except TypeError per
+        # window (which masked genuine TypeErrors inside decoding and
+        # silently re-ran windows without context — round-2 review)
+        import inspect
+
+        hook_params = set(inspect.signature(decode_window).parameters)
+        extra_kw = {}
+        if "speaker_diarization" in hook_params:
+            extra_kw["speaker_diarization"] = params.speaker_diarization
+        if "temperature" in hook_params:
+            extra_kw["temperature"] = params.temperature
+        takes_context = "context" in hook_params
 
         seek = 0
         raw_segments: list[dict] = []
@@ -460,11 +475,13 @@ class WhisperEngine(AsrEngine):
             window = audio[seek : seek + MEL.N_SAMPLES]
             mel = self.compute_mel(window)  # pads to 3000 frames
             ctx = context if params.condition_on_previous_text else None
-            try:
+            if takes_context:
                 res = decode_window(mel, language, params.task,
-                                    params.suppress_non_speech, context=ctx)
-            except TypeError:  # hooks without context support
-                res = decode_window(mel, language, params.task, params.suppress_non_speech)
+                                    params.suppress_non_speech, context=ctx,
+                                    **extra_kw)
+            else:  # hooks without context support
+                res = decode_window(mel, language, params.task,
+                                    params.suppress_non_speech, **extra_kw)
             offset = seek / SAMPLE_RATE
             window_dur = min(window.size, MEL.N_SAMPLES) / SAMPLE_RATE
             if (res["no_speech_prob"] > self.config.no_speech_thold
@@ -510,6 +527,13 @@ class WhisperEngine(AsrEngine):
         language = params.language
         full_text = []
         for start, end in spans:
+            if language and params.language is None:
+                # propagate the first span's detected language: later spans
+                # skip re-detection (one encoder pass each) and the whole
+                # file gets consistent language-dependent postprocessing
+                import dataclasses
+
+                params = dataclasses.replace(params, language=language)
             res = self.transcribe_audio(audio[start:end], params, decode_window)
             language = language or res.language
             offset = start / SAMPLE_RATE
@@ -764,12 +788,24 @@ class WhisperEngine(AsrEngine):
             audio = denoise_audio(audio, DenoiseConfig(post_gain=1.0))
         mel = self.compute_mel(audio, pad_to=bucket)
         if decode_window is None:
-            decode_window = (lambda mel, lang, task, sns:
+            decode_window = (lambda mel, lang, task, sns,
+                             speaker_diarization=False, temperature=0.0:
                              self.decode_windows(
                                  mel, lang, task=task, suppress_non_speech=sns,
-                                 speaker_diarization=params.speaker_diarization,
+                                 speaker_diarization=speaker_diarization,
+                                 temperatures=([temperature] if temperature
+                                               else None),
                                  max_new_tokens=96)[0])
-        res = decode_window(mel, language, params.task, params.suppress_non_speech)
+        import inspect
+
+        hook_params = set(inspect.signature(decode_window).parameters)
+        kw = {}
+        if "speaker_diarization" in hook_params:
+            kw["speaker_diarization"] = params.speaker_diarization
+        if "temperature" in hook_params:
+            kw["temperature"] = params.temperature
+        res = decode_window(mel, language, params.task,
+                            params.suppress_non_speech, **kw)
         window_dur = audio.size / SAMPLE_RATE
         segs, _ = D.segments_from_tokens(res["tokens"], res["n_sampled"], self.tokenizer)
         for s in segs:

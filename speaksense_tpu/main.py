@@ -56,6 +56,9 @@ def build_context(config: Config, engine):
     manager.register_processor(TranscribeProcessor(engine, audio_dir=config.audio_path))
     manager.register_processor(NoiseReductionProcessor(audio_dir=config.audio_path))
     manager.register_processor(VoiceprintProcessor(audio_dir=config.audio_path))
+    # requeue rows stuck in Processing from a crashed/restarted previous
+    # process BEFORE workers start (they are otherwise stranded forever)
+    manager.recover_orphaned_tasks()
     scheduler = create_scheduler(
         manager,
         [TaskType.TRANSCRIBE, TaskType.NOISE_REDUCTION,

@@ -44,11 +44,16 @@ class _WindowJob:
     task: str
     suppress_non_speech: bool
     context: list | None = None  # previous-text conditioning tokens
+    speaker_diarization: bool = False
+    temperature: float = 0.0     # user-requested initial sampling temp
     future: Future = field(default_factory=Future)
 
     @property
     def group_key(self):
-        return (self.mel.shape[0], self.task, self.suppress_non_speech)
+        # speaker_diarization changes the suppress mask (the tdrz turn
+        # token), i.e. the compiled program — batches must not mix it
+        return (self.mel.shape[0], self.task, self.suppress_non_speech,
+                self.speaker_diarization)
 
 
 class BatchedEngine(AsrEngine):
@@ -68,22 +73,29 @@ class BatchedEngine(AsrEngine):
     # ------------------------------------------------------------- batching
 
     def submit_window(self, mel, language: str | None, task: str,
-                      suppress_non_speech: bool, context: list | None = None) -> Future:
+                      suppress_non_speech: bool, context: list | None = None,
+                      speaker_diarization: bool = False,
+                      temperature: float = 0.0) -> Future:
         """mel: (T_mel, n_mels), numpy OR device array — device arrays are
         kept on device (compute_mel output would otherwise round-trip
         through the host, ~1.5 MB each way per 30 s window on the relay)."""
-        job = _WindowJob(mel, language, task, suppress_non_speech, context)
+        job = _WindowJob(mel, language, task, suppress_non_speech, context,
+                         speaker_diarization, temperature)
         self._queue.put(job)
         return job.future
 
     def _decode_window(self, mel, language, task, suppress_non_speech,
-                       context=None) -> dict:
+                       context=None, speaker_diarization=False,
+                       temperature=0.0) -> dict:
         """decode_window hook for WhisperEngine.transcribe_audio: one window
-        through the shared batch."""
+        through the shared batch. Forwards speaker_diarization (the tdrz
+        suppress-mask toggle — dropping it silently disabled diarization in
+        production, round-2 review) and the user temperature."""
         if mel.ndim == 3:
             mel = mel[0]
         return self.submit_window(mel, language, task, suppress_non_speech,
-                                  context).result()
+                                  context, speaker_diarization,
+                                  temperature).result()
 
     def _loop(self) -> None:
         while not self._stop.is_set():
@@ -93,12 +105,18 @@ class BatchedEngine(AsrEngine):
                 continue
             batch = [first]
             # drain compatible jobs up to the bucket, waiting briefly for
-            # stragglers so concurrent streams coalesce
-            deadline = self.max_wait_s
+            # stragglers so concurrent streams coalesce. max_wait is a
+            # TOTAL deadline for the collection phase (a per-dequeue wait
+            # would let steady incompatible traffic extend it unboundedly)
+            import time as _time
+
+            deadline = _time.monotonic() + self.max_wait_s
             leftovers: list[_WindowJob] = []
             while len(batch) < self.max_batch:
+                remaining = deadline - _time.monotonic()
                 try:
-                    job = self._queue.get(timeout=deadline)
+                    job = (self._queue.get(timeout=remaining)
+                           if remaining > 0 else self._queue.get_nowait())
                 except queue.Empty:
                     break
                 if job.group_key == first.group_key:
@@ -115,16 +133,25 @@ class BatchedEngine(AsrEngine):
 
             # device-side stack: numpy mels upload once, device mels stay put
             mels = jnp.stack([jnp.asarray(j.mel) for j in batch])
-            # pad to the full bucket so every occupancy shares one program
+            # pad to the full bucket so every occupancy shares one program.
+            # Pad rows REPLICATE row 0 (same mel + language): zero-mel pads
+            # decode garbage that reliably trips the quality thresholds and
+            # dragged every underfilled batch through the full temperature-
+            # fallback ladder (up to 5 extra full-width dispatches whose
+            # results are discarded — round-2 review); a replica follows
+            # row 0's own accept/retry behavior instead
             pad = self.max_batch - len(batch)
             if pad > 0:
                 mels = jnp.concatenate(
-                    [mels, jnp.zeros((pad,) + mels.shape[1:], mels.dtype)])
-            langs = [j.language for j in batch] + ["en"] * pad
+                    [mels, jnp.broadcast_to(mels[:1], (pad,) + mels.shape[1:])])
+            langs = [j.language for j in batch] + [batch[0].language] * pad
             contexts = [j.context or [] for j in batch] + [[]] * pad
+            temps = [j.temperature for j in batch] + [batch[0].temperature] * pad
             results = self.engine.decode_windows(
                 mels, langs, task=batch[0].task,
                 suppress_non_speech=batch[0].suppress_non_speech,
+                speaker_diarization=batch[0].speaker_diarization,
+                temperatures=temps if any(temps) else None,
                 context_tokens=contexts if any(contexts) else None)
             self.batches_run += 1
             self.windows_run += len(batch)
@@ -143,6 +170,17 @@ class BatchedEngine(AsrEngine):
     def stop(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5.0)
+        # resolve abandoned jobs: submit_window callers block on
+        # Future.result() with no timeout, so queued-but-never-run jobs
+        # would hang their worker threads forever (round-2 review)
+        err = RuntimeError("batch engine stopped")
+        while True:
+            try:
+                job = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not job.future.done():
+                job.future.set_exception(err)
 
     # ------------------------------------------------------- AsrEngine API
 
@@ -159,6 +197,15 @@ class BatchedEngine(AsrEngine):
 
     def detect_language(self, audio) -> str:
         return self.engine.detect_language(audio)
+
+    def transcribe_audio_vad(self, audio, params: AsrParams) -> TranscribeResult:
+        """VAD-segmented long-form path THROUGH the shared batch (the
+        TranscribeProcessor probes hasattr(engine, 'transcribe_audio_vad');
+        without this forward the production wrapper silently lost the VAD
+        fast path — round-2 review)."""
+        return self.engine.transcribe_audio_vad(
+            np.asarray(audio, np.float32), params,
+            decode_window=self._decode_window)
 
     # ---------------------------------------------- slot-pool fast paths
     # StreamSession probes its engine for these (serving/stream.py); the

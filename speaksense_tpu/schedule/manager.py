@@ -144,14 +144,35 @@ class TaskManager:
     # -- sweeps --------------------------------------------------------------
 
     def cleanup_stale_claims(self) -> int:
-        """Drop in-memory claims older than 30 min so crashed workers don't
-        wedge their tasks forever."""
+        """Requeue claims older than 30 min so crashed workers don't wedge
+        their tasks forever. Persists Retrying (re-claimable) — dropping
+        only the in-memory entry would leave the DB row Processing, which
+        neither the pending query nor the claim CAS ever touches again
+        (round-2 review; the reference has the same wedge,
+        task_manager.rs:161-179)."""
         cutoff = time.monotonic() - STALE_CLAIM_SECONDS
         with self._lock:
             stale = [tid for tid, t in self._processing.items() if t < cutoff]
             for tid in stale:
                 del self._processing[tid]
+        for tid in stale:
+            self.storage.update(tid, TaskStatus.retrying())
         return len(stale)
+
+    def recover_orphaned_tasks(self) -> int:
+        """Startup recovery: rows stuck in Processing from a previous
+        process (no in-memory claim can exist for them) go back to
+        Retrying so workers re-claim them. Call BEFORE spawning workers.
+        The durable queue otherwise strands them forever: Pending queries
+        and the claim CAS both exclude Processing, and the timeout sweep
+        needs a non-NULL per-task timeout (REST tasks default to None)."""
+        orphans = self.storage.get_by_status(TaskStatus.PROCESSING)
+        for task in orphans:
+            self.storage.update(task.id, TaskStatus.retrying())
+        if orphans:
+            log.info("recovered %d orphaned Processing task(s) from a "
+                     "previous run", len(orphans))
+        return len(orphans)
 
     def check_timeouts(self) -> int:
         """DB sweep: Processing rows whose started_at + timeout elapsed ->

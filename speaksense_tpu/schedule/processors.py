@@ -80,7 +80,10 @@ class TranscribeProcessor(TaskProcessor):
         if cfg.path_type is PathType.URL:
             from speaksense_tpu.utils.http import download_audio
 
-            return download_audio(cfg.input_path, self.audio_dir), True
+            # task-id prefix: concurrent workers downloading same-basename
+            # URLs must not overwrite/delete each other's files (review)
+            return download_audio(cfg.input_path, self.audio_dir,
+                                  prefix=task.id), True
         path = Path(cfg.input_path)
         if not path.is_file():
             raise FileNotFoundError(f"input audio not found: {path}")
@@ -148,7 +151,7 @@ class TranscribeProcessor(TaskProcessor):
     def cleanup(self, task: Task) -> None:
         if task.config.path_type is PathType.URL:
             name = task.config.input_path.rstrip("/").rsplit("/", 1)[-1]
-            p = Path(self.audio_dir) / name
+            p = Path(self.audio_dir) / f"{task.id}_{name}"
             if p.is_file():
                 p.unlink(missing_ok=True)
 
@@ -177,7 +180,8 @@ class NoiseReductionProcessor(TaskProcessor):
         if cfg.path_type is PathType.URL:
             from speaksense_tpu.utils.http import download_audio
 
-            path = download_audio(cfg.input_path, self.audio_dir)
+            path = download_audio(cfg.input_path, self.audio_dir,
+                                  prefix=task.id)
         else:
             path = Path(cfg.input_path)
         audio = load_audio(path)
@@ -223,13 +227,15 @@ class VoiceprintProcessor(TaskProcessor):
                 raise ValueError(
                     f"reference_print must be a list of {EMBED_DIM} floats")
 
-    def _load(self, path_str: str, path_type: PathType) -> np.ndarray:
+    def _load(self, path_str: str, path_type: PathType,
+              prefix: str = "") -> np.ndarray:
         from speaksense_tpu.audio.io import load_audio
 
         if path_type is PathType.URL:
             from speaksense_tpu.utils.http import download_audio
 
-            return load_audio(download_audio(path_str, self.audio_dir))
+            return load_audio(download_audio(path_str, self.audio_dir,
+                                             prefix=prefix))
         path = Path(path_str)
         if not path.is_file():
             raise FileNotFoundError(f"input audio not found: {path}")
@@ -244,7 +250,8 @@ class VoiceprintProcessor(TaskProcessor):
         p = cfg.params.params if cfg.params else {}
         if not isinstance(p, dict):
             p = {}
-        emb = voiceprint_embedding(self._load(cfg.input_path, cfg.path_type))
+        emb = voiceprint_embedding(
+            self._load(cfg.input_path, cfg.path_type, prefix=task.id))
         out: dict = {"embedding": [round(float(v), 6) for v in emb],
                      "dim": int(emb.size)}
         ref = None

@@ -25,14 +25,22 @@ class HttpResponse:
         return {"code": self.code, "message": self.message, "body": self.body}
 
 
-def download_audio(url: str, dest_dir: str | Path, timeout: float = 120.0) -> Path:
+def download_audio(url: str, dest_dir: str | Path, timeout: float = 120.0,
+                   prefix: str = "") -> Path:
     """Download `url` into dest_dir, named by the last path segment
-    (reference http.rs:21-58). Raises on HTTP errors."""
+    (reference http.rs:21-58). Raises on HTTP errors.
+
+    prefix: caller-supplied uniquifier (e.g. the task id). Without it,
+    concurrent task workers downloading URLs that share a basename
+    overwrite/delete each other's files mid-read (the reference has the
+    same hazard but runs a single worker)."""
     import requests
 
     name = urlparse(url).path.rstrip("/").rsplit("/", 1)[-1]
     if not name:
         raise ValueError(f"invalid URL, no filename found: {url}")
+    if prefix:
+        name = f"{prefix}_{name}"
     dest_dir = Path(dest_dir)
     dest_dir.mkdir(parents=True, exist_ok=True)
     dest = dest_dir / name

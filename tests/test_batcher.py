@@ -11,7 +11,7 @@ from speaksense_tpu.asr.engine import WhisperEngine
 from speaksense_tpu.config import EngineConfig
 from speaksense_tpu.models.whisper import WhisperDims, init_params
 from speaksense_tpu.models.tokenizer import Tokenizer
-from speaksense_tpu.runtime.batcher import BatchedEngine
+from speaksense_tpu.runtime.batcher import BatchedEngine, _WindowJob
 
 TINY_DIMS = WhisperDims(
     n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
@@ -172,3 +172,47 @@ def test_batched_engine_forwards_slot_paths(rng):
             eng._slot_server.stop()
             eng._slot_server = None
         batched.stop()
+
+
+def test_batcher_forwards_diarization_and_temperature(engine, rng):
+    """speaker_diarization (a compiled-program toggle: the tdrz suppress
+    mask) and the user temperature must survive the batcher hop — dropping
+    them silently disabled diarization in production (round-2 review)."""
+    captured = {}
+    real = engine.decode_windows
+
+    def spy(mels, language, **kw):
+        captured.update(kw)
+        return real(mels, language, **kw)
+
+    batched = BatchedEngine(engine, max_batch=2)
+    engine_decode, engine.decode_windows = engine.decode_windows, spy
+    try:
+        mel = np.asarray(engine.compute_mel(
+            (rng.standard_normal(16000) * 0.1).astype(np.float32)))[0]
+        batched._decode_window(mel, "en", "transcribe", False,
+                               speaker_diarization=True, temperature=0.4)
+        assert captured["speaker_diarization"] is True
+        assert captured["temperatures"] is not None
+        assert captured["temperatures"][0] == 0.4
+        # pad rows replicate row 0 (no zero-mel fallback storms)
+        j_diar = _WindowJob(mel, "en", "transcribe", False,
+                            speaker_diarization=True)
+        j_plain = _WindowJob(mel, "en", "transcribe", False)
+        assert j_diar.group_key != j_plain.group_key
+    finally:
+        engine.decode_windows = engine_decode
+        batched.stop()
+
+
+def test_batcher_stop_resolves_queued_jobs(engine):
+    batched = BatchedEngine(engine, max_batch=2)
+    batched._stop.set()
+    batched._thread.join(timeout=10)
+    fut = batched.submit_window(np.zeros((3000, 80), np.float32), "en",
+                                "transcribe", False)
+    batched.stop()
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="batch engine stopped"):
+        fut.result(timeout=10)

@@ -258,3 +258,34 @@ def test_parallel_same_type_workers_each_task_once(manager, tmp_path):
         assert sorted(completions) == sorted(t.id for t in tasks)  # exactly once
     finally:
         scheduler.stop()
+
+def test_recover_orphaned_processing_tasks(manager, tmp_path):
+    """Rows stuck in Processing from a crashed previous process are requeued
+    as Retrying at startup and become claimable again (round-2 review: the
+    pending query and the claim CAS both exclude Processing, and REST tasks
+    have timeout=None, so they were stranded forever)."""
+    task = manager.create_task(_config(_wav(tmp_path, "orphan.wav")))
+    claimed = manager.get_next_task(TaskType.TRANSCRIBE)
+    assert claimed is not None and claimed.id == task.id
+    # simulate a process crash/restart: in-memory claims vanish
+    manager._processing.clear()
+    assert manager.get_next_task(TaskType.TRANSCRIBE) is None  # wedged
+    assert manager.recover_orphaned_tasks() == 1
+    reclaimed = manager.get_next_task(TaskType.TRANSCRIBE)
+    assert reclaimed is not None and reclaimed.id == task.id
+
+
+def test_stale_claim_requeues_db_row(manager, tmp_path):
+    """cleanup_stale_claims persists Retrying, not just the in-memory drop."""
+    import time as _time
+
+    from speaksense_tpu.schedule.manager import STALE_CLAIM_SECONDS
+
+    task = manager.create_task(_config(_wav(tmp_path, "stale.wav")))
+    claimed = manager.get_next_task(TaskType.TRANSCRIBE)
+    assert claimed.id == task.id
+    # age the claim artificially
+    manager._processing[task.id] = _time.monotonic() - STALE_CLAIM_SECONDS - 1
+    assert manager.cleanup_stale_claims() == 1
+    assert manager.get_task(task.id).status.kind == TaskStatus.RETRYING
+    assert manager.get_next_task(TaskType.TRANSCRIBE).id == task.id
