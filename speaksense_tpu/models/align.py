@@ -76,24 +76,29 @@ def _median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
 
 def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Monotonic alignment path minimizing summed cost.
-    cost: (N_tokens, M_frames). Returns (token_idx, frame_idx) arrays."""
+    cost: (N_tokens, M_frames). Returns (token_idx, frame_idx) arrays.
+
+    Anti-diagonal wavefront: cell (i, j) needs (i-1, j-1), (i-1, j) and
+    (i, j-1), all on earlier diagonals, so each diagonal updates as one
+    vector op — N+M numpy steps instead of the N*M Python-level loop that
+    cost hundreds of ms per 224-token x 1500-frame window (openai uses a
+    numba/triton DTW for the same reason)."""
     N, M = cost.shape
     D = np.full((N + 1, M + 1), np.inf)
     D[0, 0] = 0.0
     trace = np.zeros((N + 1, M + 1), np.int8)
-    for i in range(1, N + 1):
-        row_prev = D[i - 1]
-        row = D[i]
-        for j in range(1, M + 1):
-            c0, c1, c2 = row_prev[j - 1], row_prev[j], row[j - 1]
-            if c0 <= c1 and c0 <= c2:
-                best, t = c0, 0
-            elif c1 <= c2:
-                best, t = c1, 1
-            else:
-                best, t = c2, 2
-            row[j] = cost[i - 1, j - 1] + best
-            trace[i, j] = t
+    for d in range(2, N + M + 1):
+        i = np.arange(max(1, d - M), min(N, d - 1) + 1)
+        if i.size == 0:
+            continue
+        j = d - i
+        c0, c1, c2 = D[i - 1, j - 1], D[i - 1, j], D[i, j - 1]
+        best = np.minimum(np.minimum(c0, c1), c2)
+        # tie-break priority diagonal > up > left (matches the scalar loop)
+        t = np.where(c0 <= np.minimum(c1, c2), 0,
+                     np.where(c1 <= c2, 1, 2)).astype(np.int8)
+        D[i, j] = cost[i - 1, j - 1] + best
+        trace[i, j] = t
     # backtrack
     i, j = N, M
     ti, fi = [], []
@@ -115,9 +120,12 @@ def _alignment_matrix(weights: np.ndarray, n_frames: int) -> np.ndarray:
     L = weights.shape[0]
     sel = weights[L // 2 :].reshape(-1, weights.shape[2], weights.shape[3])  # upper half
     sel = sel[:, :, :n_frames]
-    # standardize per head over time, median-filter over frames, mean heads
-    mean = sel.mean(axis=-1, keepdims=True)
-    std = sel.std(axis=-1, keepdims=True) + 1e-9
+    # standardize each FRAME column across tokens (openai timing.py uses
+    # dim=-2; normalizing along frames instead systematically skews the
+    # DTW cost on long windows — round-2 review), median-filter over
+    # frames, mean heads
+    mean = sel.mean(axis=-2, keepdims=True)
+    std = sel.std(axis=-2, keepdims=True) + 1e-9
     sel = (sel - mean) / std
     sel = _median_filter(sel, 7)
     return sel.mean(axis=0)  # (T, n_frames)
@@ -160,9 +168,17 @@ def word_timestamps(params, dims: W.WhisperDims, tokenizer: Tokenizer,
     text_tokens = [int(t) for t in tokens if t < tokenizer.eot]
     if not text_tokens:
         return []
-    tok_arr = jnp.asarray(np.asarray(text_tokens, np.int32)[None, :])
+    # teacher-force with the real decoding prefix + eot (openai timing.py:
+    # [*sot_sequence, no_timestamps, *text, eot]) — bare text tokens at
+    # position 0 are out of distribution and corrupt the first words'
+    # cross-attention (round-2 review); the prefix/eot rows are sliced off
+    # before alignment
+    prefix = tokenizer.sot_sequence(language, timestamps=False)
+    forced = prefix + text_tokens + [tokenizer.eot]
+    tok_arr = jnp.asarray(np.asarray(forced, np.int32)[None, :])
     weights = np.asarray(cross_attention_weights(params, dims, tok_arr, enc_out),
-                         np.float32)[:, 0]  # (L, H, T, A)
+                         np.float32)[:, 0]  # (L, H, T_forced, A)
+    weights = weights[:, :, len(prefix) : len(prefix) + len(text_tokens)]
     n_frames = min(enc_out.shape[1], int(audio_seconds * FRAMES_PER_SECOND))
     matrix = _alignment_matrix(weights, n_frames)      # (T, n_frames)
     ti, fi = dtw_path(-matrix)

@@ -329,23 +329,30 @@ def segments_from_tokens(tokens: np.ndarray, n_sampled: int, tok: Tokenizer,
     segments = []
     seek_advance = None
 
-    # indices of timestamp tokens
+    # indices of the SECOND token of each consecutive-timestamp pair
     consecutive = [i for i in range(1, len(ids)) if tok.is_timestamp(ids[i]) and tok.is_timestamp(ids[i - 1])]
     if consecutive:
-        # slices ending at each pair boundary
+        # openai transcribe.py long-form stitching semantics:
+        # - window ends with ONE closing timestamp (preceded by text):
+        #   the final open slice is a complete segment; the whole window is
+        #   consumed (seek_advance None -> caller advances 30 s);
+        # - otherwise (truncated mid-segment, or trailing lone/pair
+        #   timestamps): emit only the COMPLETE slices, DISCARD any open
+        #   tail text, and seek to the pair-closing timestamp
+        #   ids[last_slice - 1] so that audio is re-decoded next window
+        #   (the old code emitted the open tail with a +30 s end and sought
+        #   past it — skipping up to 30 s of audio; round-2 review).
+        single_ts_ending = (len(ids) >= 2 and tok.is_timestamp(ids[-1])
+                            and not tok.is_timestamp(ids[-2]))
+        slices = consecutive + ([len(ids)] if single_ts_ending else [])
         last_slice = 0
-        for i in consecutive:
-            sliced = ids[last_slice:i]
-            segments.append(_make_segment(sliced, tok, window_offset))
+        for i in slices:
+            segments.append(_make_segment(ids[last_slice:i], tok, window_offset))
             last_slice = i
-        tail = ids[last_slice:]
-        # the pair-closing timestamp of the final complete slice
-        seek_advance = tok.timestamp_seconds(ids[last_slice])
-        if len(tail) > 1:
-            seg = _make_segment(tail, tok, window_offset)
-            if seg["tokens"]:
-                segments.append(seg)
-                seek_advance = seg["end"] - window_offset
+        if single_ts_ending:
+            seek_advance = None             # consumed the whole window
+        else:
+            seek_advance = tok.timestamp_seconds(ids[last_slice - 1])
     else:
         seg = _make_segment(ids, tok, window_offset)
         if seg["tokens"]:

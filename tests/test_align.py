@@ -67,3 +67,52 @@ def test_word_timestamps_end_to_end(rng):
     # monotone across words
     starts = [w["start"] for w in words]
     assert starts == sorted(starts)
+
+
+def test_dtw_wavefront_matches_scalar_reference(rng):
+    """The anti-diagonal vectorized DTW must reproduce the scalar dynamic
+    program exactly (same costs, same tie-break priority)."""
+    from speaksense_tpu.models.align import dtw_path
+
+    def scalar_dtw(cost):
+        N, M = cost.shape
+        D = np.full((N + 1, M + 1), np.inf)
+        D[0, 0] = 0.0
+        trace = np.zeros((N + 1, M + 1), np.int8)
+        for i in range(1, N + 1):
+            for j in range(1, M + 1):
+                c0, c1, c2 = D[i - 1, j - 1], D[i - 1, j], D[i, j - 1]
+                if c0 <= c1 and c0 <= c2:
+                    best, t = c0, 0
+                elif c1 <= c2:
+                    best, t = c1, 1
+                else:
+                    best, t = c2, 2
+                D[i, j] = cost[i - 1, j - 1] + best
+                trace[i, j] = t
+        i, j = N, M
+        ti, fi = [], []
+        while i > 0 and j > 0:
+            ti.append(i - 1)
+            fi.append(j - 1)
+            t = trace[i, j]
+            if t == 0:
+                i, j = i - 1, j - 1
+            elif t == 1:
+                i -= 1
+            else:
+                j -= 1
+        return np.asarray(ti[::-1]), np.asarray(fi[::-1])
+
+    for shape in ((1, 1), (3, 7), (20, 33), (50, 120)):
+        cost = rng.standard_normal(shape).astype(np.float32)
+        ti_v, fi_v = dtw_path(cost)
+        ti_s, fi_s = scalar_dtw(cost)
+        np.testing.assert_array_equal(ti_v, ti_s)
+        np.testing.assert_array_equal(fi_v, fi_s)
+    # ties too (quantized costs force equal-cost alternatives)
+    cost = np.round(rng.standard_normal((12, 18)) * 2) / 2
+    ti_v, fi_v = dtw_path(cost)
+    ti_s, fi_s = scalar_dtw(cost)
+    np.testing.assert_array_equal(ti_v, ti_s)
+    np.testing.assert_array_equal(fi_v, fi_s)

@@ -136,13 +136,14 @@ def test_segments_from_tokens():
     ids = [t(0.0), 10, 11, t(2.0), t(2.0), 12, t(4.5), t(4.5), 13]
     arr = np.asarray(ids + [TOK.eot] * 3)
     segs, advance = D.segments_from_tokens(arr, len(ids), TOK, window_offset=30.0)
-    assert len(segs) == 3
+    # openai stitching: the open tail ([t4.5, 13] — truncated mid-segment)
+    # is NOT emitted; seek returns to the closing timestamp so that audio
+    # is re-decoded next window
+    assert len(segs) == 2
     assert segs[0]["start"] == 30.0 and segs[0]["end"] == 32.0
     assert segs[0]["tokens"] == [10, 11]
     assert segs[1]["start"] == 32.0 and segs[1]["end"] == 34.5
-    # trailing open segment consumes the window
-    assert segs[2]["start"] == 34.5
-    assert advance is not None
+    assert advance == 4.5
 
 
 def test_segments_trailing_pair_sets_seek():
@@ -150,8 +151,23 @@ def test_segments_trailing_pair_sets_seek():
     ids = [t(0.0), 7, t(3.0), t(3.0), 8, t(6.0)]
     arr = np.asarray(ids)
     segs, advance = D.segments_from_tokens(arr, len(ids), TOK)
+    # single-timestamp ending: the final slice IS a complete segment and
+    # the whole window is consumed (openai seeks the full 30 s)
     assert segs[-1]["end"] == 6.0
-    assert advance == 6.0
+    assert advance is None
+
+
+def test_segments_gapped_trailing_pair_seeks_closing_timestamp():
+    """A non-equal trailing timestamp pair ([<|5.00|>, <|7.00|>]) must seek
+    to the CLOSING timestamp of the last complete segment (5.0), not the
+    tail's opening one (7.0) — openai's tokens[last_slice-1] (round-2
+    review: the off-by-one silently skipped the gap's audio)."""
+    t = TOK.timestamp_token
+    ids = [t(0.0), 7, t(5.0), t(7.0)]
+    segs, advance = D.segments_from_tokens(np.asarray(ids), len(ids), TOK)
+    assert len(segs) == 1
+    assert segs[0]["end"] == 5.0
+    assert advance == 5.0
 
 
 def test_transcribe_window_int8_cross_kv(tiny_model, rng):
