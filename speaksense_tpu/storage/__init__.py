@@ -30,7 +30,11 @@ class TaskStorage(abc.ABC):
     def list(self, index: int, size: int) -> "list[Task]": ...
 
     @abc.abstractmethod
-    def get_pending_by_priority(self, limit: int) -> "list[Task]": ...
+    def get_pending_by_priority(self, limit: int,
+                                task_type: "str | None" = None) -> "list[Task]": ...
+
+    @abc.abstractmethod
+    def count_by_status(self) -> "dict[str, int]": ...
 
     @abc.abstractmethod
     def get(self, task_id: str) -> "Optional[Task]": ...

@@ -311,11 +311,19 @@ class SqliteTaskStorage(_SqliteBase, TaskStorage):
         return cur.rowcount
 
     def get_by_status(self, status_kind: str) -> list[Task]:
-        status = _status_db(TaskStatus(status_kind))
+        if status_kind == TaskStatus.FAILED:
+            # Failed rows embed the error message ({"Failed": "<msg>"}) so
+            # an equality match against the empty-message form never hits;
+            # match the tagged-enum prefix instead
+            where, arg = "status LIKE ?", '{"Failed":%'
+        else:
+            where, arg = "status = ?", _status_db(TaskStatus(status_kind))
         with self._lock:
             rows = self._conn.execute(
-                f"SELECT {self._COLS} FROM tasks WHERE status = ? "
-                "ORDER BY priority DESC, created_at ASC", (status,)).fetchall()
+                f"SELECT {self._COLS} FROM tasks WHERE {where} "
+                # ascending ordinal = Critical first (types.py convention,
+                # same as get_pending_by_priority)
+                "ORDER BY priority ASC, created_at ASC", (arg,)).fetchall()
         return [self._from_row(r) for r in rows]
 
     def count_by_status(self) -> dict[str, int]:

@@ -60,8 +60,13 @@ def test_auth_key_endpoints(stack):
     ctx, _, admin_key, _ = stack
 
     async def flow(client):
+        hdr = {"Authorization": f"Bearer {admin_key}"}
+        # key management requires Admin auth (deliberate fix over the
+        # reference, which left /auth/api-keys wholly unauthenticated)
+        resp = await client.post("/auth/api-keys", json={"name": "x"})
+        assert resp.status == 401
         # create
-        resp = await client.post("/auth/api-keys", json={
+        resp = await client.post("/auth/api-keys", headers=hdr, json={
             "name": "svc", "permissions": ["Transcribe"],
             "rate_limit": {"requests_per_minute": 50, "requests_per_hour": 0,
                            "requests_per_day": 0},
@@ -71,20 +76,24 @@ def test_auth_key_endpoints(stack):
         assert body["success"] is True
         key = body["data"]["key_info"]["key"]
         assert key.startswith("key-")
+        # a non-admin key cannot manage keys
+        resp = await client.get(f"/auth/api-keys/{key}/stats",
+                                headers={"Authorization": f"Bearer {key}"})
+        assert resp.status == 401
         # stats (fresh key: zero)
-        resp = await client.get(f"/auth/api-keys/{key}/stats")
+        resp = await client.get(f"/auth/api-keys/{key}/stats", headers=hdr)
         stats = (await resp.json())["data"]
         assert stats["total_requests"] == 0
         # usage report
-        resp = await client.get(f"/auth/api-keys/{key}/usage")
+        resp = await client.get(f"/auth/api-keys/{key}/usage", headers=hdr)
         usage = (await resp.json())["data"]
         assert usage["key_info"]["name"] == "svc"
         assert usage["usage_summary"]["days_until_expiry"] >= 6
         # revoke
-        resp = await client.delete(f"/auth/api-keys/{key}")
+        resp = await client.delete(f"/auth/api-keys/{key}", headers=hdr)
         assert (await resp.json())["success"] is True
         # stats for unknown key -> 404
-        resp = await client.get("/auth/api-keys/nope/stats")
+        resp = await client.get("/auth/api-keys/nope/stats", headers=hdr)
         assert resp.status == 404
         return True
 
