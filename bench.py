@@ -136,6 +136,11 @@ def bench_serve(model_name: str, emit: bool = True):
     # fallback is neutralized for the beam bench unless BENCH_SERVE_FALLBACK=1
     # (real speech rarely retries; that is the feature's design point).
     beam = int(os.environ.get("BENCH_SERVE_BEAM", "0"))
+    # int8 decoder-block weights on the serving path: the pool step is
+    # HBM-read-bound and decoder weights are ~1.7 GB bf16 of its per-step
+    # traffic; per-out-channel int8 halves that (drift bounds pinned in
+    # tests/test_accuracy.py). Opt-in pending WER validation on real audio.
+    int8_w = os.environ.get("BENCH_SERVE_INT8W", "0") not in ("", "0", "false")
     use_slots = use_slots and beam <= 1
     fallback = os.environ.get("BENCH_SERVE_FALLBACK", "0") not in ("", "0")
     thresh = {} if (beam <= 1 or fallback) else dict(
@@ -153,6 +158,7 @@ def bench_serve(model_name: str, emit: bool = True):
     tok = Tokenizer.synthetic(dims.n_vocab)
     engine = WhisperEngine(params, dims, tok,
                            config=EngineConfig(cross_kv_int8=True,
+                                               weights_int8=int8_w,
                                                beam_size=beam,
                                                max_batch_size=max_batch,
                                                **thresh))
@@ -256,6 +262,7 @@ def bench_serve(model_name: str, emit: bool = True):
                      else f"window batcher B={max_batch}, ")
                   + (f"beam={beam}, fallback {'on' if fallback else 'off'}, "
                      if beam > 1 else "")
+                  + ("int8 weights, " if int8_w else "")
                   + f"denoise={'on' if denoise else 'off'}, rules+stitching on)",
         "value": round(rtf, 2),
         "unit": "x_realtime",
@@ -578,8 +585,11 @@ def main():
     dims = W.MODEL_DIMS[model_name]
     import ml_dtypes
 
+    # weight transforms run on HOST numpy, then one device placement —
+    # fusing/quantizing device-resident arrays would round-trip the block
+    # weights through the remote relay (see WhisperEngine.__init__)
     params = jax.tree.map(
-        lambda x: jnp.asarray(x.astype(ml_dtypes.bfloat16) if x.ndim >= 2 else x),
+        lambda x: x.astype(ml_dtypes.bfloat16) if x.ndim >= 2 else x,
         W.init_params_np(dims))
     fuse = os.environ.get("BENCH_FUSE_QKV", "0") not in ("", "0", "false")
     if fuse:
@@ -587,6 +597,8 @@ def main():
     int8_w = os.environ.get("BENCH_INT8_W", "0") not in ("", "0", "false")
     if int8_w:
         params = W.quantize_block_weights(params)
+    # plain asarray preserves dtypes (bf16 weights, int8 wq, f32 ws/biases)
+    params = jax.tree.map(jnp.asarray, params)
     prompt_len = 3
 
     int8_kv = os.environ.get("BENCH_INT8_KV", "1") not in ("", "0", "false")

@@ -95,20 +95,30 @@ class WhisperEngine(AsrEngine):
         dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
         self.dtype = dtype
 
-        def to_dev(x):
-            x = jnp.asarray(x)
-            # keep norm/bias/pos f32; big matmul weights in compute dtype
-            return x.astype(dtype) if x.ndim >= 2 else x.astype(jnp.float32)
-
-        self.params = jax.tree.map(to_dev, params)
+        # weight re-layouts run HOST-SIDE, BEFORE device placement: both are
+        # numpy transforms, and applying them to device-resident arrays
+        # fetches the block weights back through the (slow) remote relay —
+        # ~600 MB per engine construction for large-v3 with fuse_qkv on
         if self.config.fuse_qkv:
             # pure weight re-layout: one (d, 3d) qkv matmul per block instead
             # of three (d, d) — fewer ops in the scanned decode step
-            self.params = W.fuse_qkv_weights(self.params)
+            params = W.fuse_qkv_weights(params)
         if self.config.weights_int8:
             # int8 decoder block weights (whisper.cpp ships q5/q8 ggml models
             # the same way; per-out-channel scales here)
-            self.params = W.quantize_block_weights(self.params)
+            params = W.quantize_block_weights(params)
+
+        def to_dev(path, x):
+            x = jnp.asarray(x)
+            leaf = getattr(path[-1], "key", None) if path else None
+            if x.dtype == jnp.int8 or leaf == "ws":
+                # quantized weights stay int8; their per-channel scales stay
+                # f32 (bf16 scales would compound the quantization error)
+                return x
+            # keep norm/bias/pos f32; big matmul weights in compute dtype
+            return x.astype(dtype) if x.ndim >= 2 else x.astype(jnp.float32)
+
+        self.params = jax.tree_util.tree_map_with_path(to_dev, params)
         self.mel_filters = (np.asarray(mel_filters, np.float32)
                             if mel_filters is not None else MEL.mel_filter_bank(dims.n_mels))
         # suppression mask variants (device-resident)

@@ -761,10 +761,20 @@ def fuse_qkv_weights(params: Params, encoder: bool = True) -> Params:
     of three. k has no bias in whisper; the fused bias zero-fills that third.
     The block factories detect "qkv" and split the output. Apply BEFORE
     quantize_block_weights (the fused "w" is (L, d, 3d) and quantizes
-    per-output-channel exactly like the separate tensors would)."""
+    per-output-channel exactly like the separate tensors would).
+
+    Returns HOST (numpy) tensors for the fused entries: callers place them
+    on device afterwards (jit argument upload or an explicit tree_map).
+    Running this on device-resident arrays works but fetches the q/k/v
+    weights back to host first — ~600 MB through the remote relay for
+    large-v3 — so engines apply it before device placement. Idempotent
+    (already-fused blocks pass through)."""
     import numpy as onp
 
-    def fuse(blocks, d):
+    def fuse(blocks, d=None):
+        if "qkv" in blocks:
+            return blocks
+        d = blocks["q"]["w"].shape[-1]
         out = {k: v for k, v in blocks.items() if k not in ("q", "k", "v")}
         wq, wk, wv = blocks["q"]["w"], blocks["k"]["w"], blocks["v"]["w"]
         w = onp.concatenate([onp.asarray(wq), onp.asarray(wk), onp.asarray(wv)], axis=-1)
@@ -774,17 +784,15 @@ def fuse_qkv_weights(params: Params, encoder: bool = True) -> Params:
             onp.zeros((L, d), onp.asarray(blocks["q"]["b"]).dtype),
             onp.asarray(blocks["v"]["b"]),
         ], axis=-1)
-        out["qkv"] = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+        out["qkv"] = {"w": w, "b": b}
         return out
 
     new = dict(params)
     new["decoder"] = {**params["decoder"],
-                      "blocks": fuse(params["decoder"]["blocks"],
-                                     params["decoder"]["blocks"]["q"]["w"].shape[-1])}
+                      "blocks": fuse(params["decoder"]["blocks"])}
     if encoder:
         new["encoder"] = {**params["encoder"],
-                          "blocks": fuse(params["encoder"]["blocks"],
-                                         params["encoder"]["blocks"]["q"]["w"].shape[-1])}
+                          "blocks": fuse(params["encoder"]["blocks"])}
     return new
 
 
@@ -822,7 +830,11 @@ def quantize_block_weights(params: Params, encoder: bool = False) -> Params:
                 amax = onp.abs(w).max(axis=1, keepdims=True)  # (L, 1, d_out)
                 ws = onp.maximum(amax, 1e-8) / 127.0
                 wq = onp.clip(onp.rint(w / ws), -127, 127).astype(onp.int8)
-                q = {"wq": jnp.asarray(wq), "ws": jnp.asarray(ws.astype(onp.float32))}
+                # host tensors out (see fuse_qkv_weights): the caller device-
+                # places them; "ws" must STAY f32 through that placement —
+                # bf16 scales would add ~0.4% relative error on top of the
+                # int8 rounding
+                q = {"wq": wq, "ws": ws.astype(onp.float32)}
                 if "b" in sub:
                     q["b"] = sub["b"]
                 out[name] = q
