@@ -52,6 +52,9 @@ class TranscribeResult:
     segments: list[TranscribeSegment] = field(default_factory=list)
     full_text: str = ""
     language: str | None = None
+    # decoder tokens sampled to produce this result (usage accounting:
+    # feeds api_key_stats.total_tokens via Auth.record_usage)
+    n_tokens: int = 0
 
     def to_dict(self) -> dict:
         return {"segments": [s.to_dict() for s in self.segments], "full_text": self.full_text}

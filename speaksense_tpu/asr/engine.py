@@ -57,6 +57,18 @@ class EngineState:
     lock: threading.Lock = field(default_factory=threading.Lock)
 
 
+def needs_fallback_retry(cand: dict, config: EngineConfig) -> bool:
+    """Temperature-fallback quality gates on one decode candidate, matching
+    the wrapped engine's semantics: zlib compression ratio + avg logprob
+    (openai whisper) and the 32-token histogram-entropy gate (whisper.cpp
+    entropy_thold 2.4, whisper.rs:164 — fires only past 32 sampled tokens,
+    as whisper_sequence_score's `result_len > n` guard does)."""
+    return ((cand["compression_ratio"] > config.compression_ratio_thold)
+            or (cand["avg_logprob"] < config.logprob_thold)
+            or (cand["n_sampled"] > 32
+                and cand.get("token_entropy", 99.0) < config.entropy_thold))
+
+
 class _PendingChunk:
     """Handle for one in-flight stream chunk (WhisperEngine.
     submit_stream_chunk): settle() blocks until the slot pool finishes the
@@ -348,18 +360,19 @@ class WhisperEngine(AsrEngine):
         t_start = time.perf_counter()
 
         def _candidate(tokens, n_sampled, avg_lp, ns_prob, row, temp) -> dict:
-            text = self.tokenizer.decode(tokens[row, : n_sampled[row]])
+            n = int(n_sampled[row])
+            text = self.tokenizer.decode(tokens[row, :n])
             return dict(
-                tokens=tokens[row], n_sampled=int(n_sampled[row]), text=text,
+                tokens=tokens[row], n_sampled=n, text=text,
                 avg_logprob=float(avg_lp[row]), no_speech_prob=float(ns_prob[row]),
                 compression_ratio=PP.compression_ratio(text), temperature=float(temp),
+                token_entropy=PP.token_entropy(tokens[row, :n]),
             )
 
         def _settle(b: int, cand: dict, attempt: int) -> None:
             """Accept the slot's candidate or schedule a hotter retry."""
             last_attempt[b] = cand
-            needs_retry = ((cand["compression_ratio"] > self.config.compression_ratio_thold)
-                           or (cand["avg_logprob"] < self.config.logprob_thold))
+            needs_retry = needs_fallback_retry(cand, self.config)
             if needs_retry and temps[b] < schedule[-1]:
                 temps[b] = schedule[min(attempt + 1, len(schedule) - 1)]
                 METRICS.inc("asr_fallback_retries_total")
@@ -481,6 +494,7 @@ class WhisperEngine(AsrEngine):
         seek = 0
         raw_segments: list[dict] = []
         context: list[int] = []
+        n_tokens = 0
         while seek < audio.size:
             window = audio[seek : seek + MEL.N_SAMPLES]
             mel = self.compute_mel(window)  # pads to 3000 frames
@@ -494,6 +508,7 @@ class WhisperEngine(AsrEngine):
                                     params.suppress_non_speech, **extra_kw)
             offset = seek / SAMPLE_RATE
             window_dur = min(window.size, MEL.N_SAMPLES) / SAMPLE_RATE
+            n_tokens += int(res["n_sampled"])
             if (res["no_speech_prob"] > self.config.no_speech_thold
                     and res["avg_logprob"] < self.config.logprob_thold):
                 seek += MEL.N_SAMPLES  # silent window
@@ -518,7 +533,7 @@ class WhisperEngine(AsrEngine):
                 seek += int(advance * SAMPLE_RATE)
             else:
                 seek += MEL.N_SAMPLES
-        return self._postprocess(raw_segments, params, language)
+        return self._postprocess(raw_segments, params, language, n_tokens=n_tokens)
 
     def transcribe_audio_vad(self, audio: np.ndarray, params: AsrParams,
                              decode_window=None) -> TranscribeResult:
@@ -536,6 +551,7 @@ class WhisperEngine(AsrEngine):
         all_segments: list[TranscribeSegment] = []
         language = params.language
         full_text = []
+        n_tokens = 0
         for start, end in spans:
             if language and params.language is None:
                 # propagate the first span's detected language: later spans
@@ -556,8 +572,9 @@ class WhisperEngine(AsrEngine):
                         w["end"] += offset
                 all_segments.append(s)
             full_text.append(res.full_text)
+            n_tokens += res.n_tokens
         return TranscribeResult(segments=all_segments, full_text="".join(full_text),
-                                language=language)
+                                language=language, n_tokens=n_tokens)
 
     def _attach_words(self, segs: list[dict], res: dict, mel, language: str | None,
                       offset: float, window_dur: float) -> None:
@@ -579,7 +596,7 @@ class WhisperEngine(AsrEngine):
             s["words"] = [w for w in words if s["start"] - 0.02 <= w["start"] < s["end"] + 0.02]
 
     def _postprocess(self, raw_segments: list[dict], params: AsrParams,
-                     language: str | None) -> TranscribeResult:
+                     language: str | None, n_tokens: int = 0) -> TranscribeResult:
         """Reference segment pipeline (whisper.rs:75-121): promo filter,
         punctuation heuristic, stream-mode last-segment-only collapse."""
         segments: list[TranscribeSegment] = []
@@ -603,9 +620,11 @@ class WhisperEngine(AsrEngine):
             # reference keeps only the final segment in stream mode
             # (whisper.rs:107-117)
             last = segments[-1]
-            return TranscribeResult(segments=[last], full_text=last.text, language=language)
+            return TranscribeResult(segments=[last], full_text=last.text,
+                                    language=language, n_tokens=n_tokens)
         full_text = "".join(s.text for s in segments)
-        return TranscribeResult(segments=segments, full_text=full_text, language=language)
+        return TranscribeResult(segments=segments, full_text=full_text,
+                                language=language, n_tokens=n_tokens)
 
     @staticmethod
     def _merge_short_segments(segments: list[TranscribeSegment],
@@ -719,7 +738,8 @@ class WhisperEngine(AsrEngine):
                          if t < self.tokenizer.eot]
             cap = server.pool.max_prompt if server is not None else 16
             state.context_tokens = (state.context_tokens + text_toks)[-cap:]
-        return self._postprocess(segs, params, language)
+        return self._postprocess(segs, params, language,
+                                 n_tokens=int(raw["n_sampled"]))
 
     def submit_stream_chunk(self, state: EngineState | None, audio,
                             params: AsrParams):
@@ -821,4 +841,5 @@ class WhisperEngine(AsrEngine):
         for s in segs:
             s["end"] = min(s["end"], window_dur)
             s["start"] = min(s["start"], s["end"])
-        return self._postprocess(segs, params, language)
+        return self._postprocess(segs, params, language,
+                                 n_tokens=int(res["n_sampled"]))

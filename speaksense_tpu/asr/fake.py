@@ -46,10 +46,12 @@ class FakeAsrEngine(AsrEngine):
             digest = hashlib.sha1(chunk.tobytes()).hexdigest()[:8]
             segments.append(TranscribeSegment(
                 text=f"seg{i}-{digest} ", speaker_id=0, start=start, end=end))
+        n_tokens = 2 * len(segments)  # deterministic usage-accounting stand-in
         if params.stream_mode and segments:
             segments = [segments[-1]]
         return TranscribeResult(
             segments=segments,
             full_text="".join(s.text for s in segments),
             language=params.language or "en",
+            n_tokens=n_tokens,
         )

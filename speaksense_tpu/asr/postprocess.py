@@ -48,14 +48,31 @@ def add_punctuation(text: str) -> str:
 
 
 def compression_ratio(text: str) -> float:
-    """zlib compressibility — whisper's repetition detector (whisper.cpp's
-    entropy_thold ~ 2.4 maps to this fallback criterion)."""
+    """zlib compressibility — openai whisper's repetition detector."""
     import zlib
 
     data = text.encode("utf-8")
     if not data:
         return 0.0
     return len(data) / len(zlib.compress(data))
+
+
+def token_entropy(tokens, window: int = 32) -> float:
+    """whisper.cpp's repetition detector: Shannon entropy of the token-id
+    histogram over the LAST `window` sampled tokens (whisper_sequence_score's
+    n=32 window; the reference configures entropy_thold 2.4 at
+    /root/reference/src/asr/whisper.rs:164). Low entropy = the tail is
+    cycling through few distinct tokens = likely repetition loop."""
+    import math
+
+    tail = list(tokens)[-window:]
+    if not tail:
+        return 0.0
+    counts: dict = {}
+    for t in tail:
+        counts[t] = counts.get(t, 0) + 1
+    n = len(tail)
+    return -sum((c / n) * math.log(c / n) for c in counts.values())
 
 
 # --- dirty-word filtering (the reference accepts filter_dirty_words in its

@@ -72,6 +72,18 @@ class Auth:
         # rewriting the 30-day history on every verified request)
         self.stats_storage.bump_stats(api_key)
 
+    def record_usage(self, api_key: str, tokens: int = 0,
+                     audio_seconds: float = 0.0) -> None:
+        """Served-work accounting: advance total_tokens /
+        total_audio_seconds for a completed transcription (the reference
+        reserves these columns, key_stats_entity.rs:14-15, and never fills
+        them). Called on batch-task completion (TaskManager.usage_hook) and
+        per authenticated gRPC stream chunk."""
+        if not (tokens or audio_seconds):
+            return
+        self.stats_storage.add_usage(api_key, tokens=tokens,
+                                     audio_seconds=audio_seconds)
+
     def get_key_stats(self, api_key: str) -> ApiKeyStats:
         if self.key_storage.get(api_key) is None:
             raise KeyError("API key not found")

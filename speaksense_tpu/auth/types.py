@@ -82,6 +82,12 @@ class ApiKeyStats:
     requests_today: int = 0
     last_used_at: _dt.datetime = field(default_factory=utcnow)
     requests_per_day: dict[str, int] = field(default_factory=dict)
+    # served-work accounting: the reference reserves these columns
+    # (key_stats_entity.rs:14-15) but never fills them; here every completed
+    # transcription (REST batch task or authenticated gRPC stream chunk)
+    # advances them (Auth.record_usage)
+    total_tokens: int = 0
+    total_audio_seconds: float = 0.0
 
     def update(self) -> None:
         today = utcnow().date().isoformat()
@@ -96,7 +102,9 @@ class ApiKeyStats:
         return {"total_requests": self.total_requests,
                 "requests_today": self.requests_today,
                 "last_used_at": dt_to_json(self.last_used_at),
-                "requests_per_day": dict(self.requests_per_day)}
+                "requests_per_day": dict(self.requests_per_day),
+                "total_tokens": self.total_tokens,
+                "total_audio_seconds": self.total_audio_seconds}
 
 
 @dataclass

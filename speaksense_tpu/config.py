@@ -54,7 +54,8 @@ class EngineConfig:
                                     # beam search on EVERY serving path
     temperature: float = 0.0
     temperature_increment: float = 0.2
-    entropy_thold: float = 2.4      # compression-ratio proxy threshold
+    entropy_thold: float = 2.4      # 32-token histogram-entropy retry gate
+    #                                 (whisper.cpp entropy_thold, whisper.rs:164)
     compression_ratio_thold: float = 2.4
     logprob_thold: float = -1.0
     no_speech_thold: float = 0.6
@@ -88,6 +89,10 @@ class Config:
     # the backend; here N workers' windows coalesce in the shared batcher,
     # so parallel claims RAISE batch occupancy instead of contending
     task_workers: int = 4
+    # gRPC stream auth mode: "off" (reference wire parity: unauthenticated),
+    # "optional" (verify+meter `authorization` metadata when present),
+    # "required" (reject keyless streams)
+    grpc_auth: str = "off"
     engine: EngineConfig = field(default_factory=EngineConfig)
 
     @property
@@ -109,6 +114,7 @@ class Config:
             http_port=int(_env("ASR_HTTP_PORT", dotenv, "7200")),
             grpc_port=int(_env("ASR_GRPC_PORT", dotenv, "7300")),
             task_workers=int(_env("SPEAKSENSE_TASK_WORKERS", dotenv, "4")),
+            grpc_auth=_env("SPEAKSENSE_GRPC_AUTH", dotenv, "off"),
         )
 
     def init_dirs(self) -> None:

@@ -53,6 +53,10 @@ def build_context(config: Config, engine):
     auth.initialize_admin_key()
 
     manager = TaskManager(task_storage)
+    # completed tasks advance the creating key's total_tokens /
+    # total_audio_seconds (the reference reserves these columns and never
+    # fills them, key_stats_entity.rs:14-15)
+    manager.usage_hook = auth.record_usage
     manager.register_processor(TranscribeProcessor(engine, audio_dir=config.audio_path))
     manager.register_processor(NoiseReductionProcessor(audio_dir=config.audio_path))
     manager.register_processor(VoiceprintProcessor(audio_dir=config.audio_path))
@@ -91,7 +95,12 @@ async def serve(config: Config, fake_engine: bool = False,
     ctx, scheduler = build_context(config, engine)
 
     registry = EtcdRegistry(config.etcd_endpoint)
-    grpc_server = GrpcServer(engine, port=config.grpc_port, registry=registry)
+    grpc_server = GrpcServer(
+        engine, port=config.grpc_port, registry=registry,
+        # optional stream auth (SPEAKSENSE_GRPC_AUTH=optional|required): the
+        # same key store as REST; off by default for reference wire parity
+        auth=ctx.auth if config.grpc_auth in ("optional", "required") else None,
+        require_auth=config.grpc_auth == "required")
     try:
         await grpc_server.start()
     except Exception:

@@ -771,7 +771,7 @@ def fuse_qkv_weights(params: Params, encoder: bool = True) -> Params:
     (already-fused blocks pass through)."""
     import numpy as onp
 
-    def fuse(blocks, d=None):
+    def fuse(blocks):
         if "qkv" in blocks:
             return blocks
         d = blocks["q"]["w"].shape[-1]

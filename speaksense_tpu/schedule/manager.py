@@ -19,7 +19,7 @@ import datetime as _dt
 import logging
 import threading
 import time
-from typing import Callable, Optional
+from typing import TYPE_CHECKING, Callable, Optional
 
 from speaksense_tpu.schedule.callback import (
     EventBus, EventCallback, FunctionCallback, HttpCallback, TaskCallback,
@@ -29,7 +29,10 @@ from speaksense_tpu.schedule.types import (
     CallbackType, Task, TaskConfig, TaskPriority, TaskResult, TaskStatus,
     TaskType, utcnow,
 )
-from speaksense_tpu.storage.sqlite import SqliteTaskStorage
+
+if TYPE_CHECKING:  # type-only: a runtime import closes the cycle
+    # storage.sqlite -> schedule.types (package __init__) -> manager
+    from speaksense_tpu.storage.sqlite import SqliteTaskStorage
 
 log = logging.getLogger(__name__)
 
@@ -48,6 +51,11 @@ class TaskManager:
         self.event_bus = EventBus()
         self._processing: dict[str, float] = {}  # task_id -> claim monotonic time
         self._lock = threading.Lock()
+        # usage_hook(api_key, tokens, audio_seconds): completion-time usage
+        # accounting (main.py wires Auth.record_usage — fills the
+        # total_tokens/total_audio_seconds columns the reference reserves at
+        # key_stats_entity.rs:14-15 and never writes)
+        self.usage_hook: Optional[Callable[[str, int, float], None]] = None
 
     # -- registry ------------------------------------------------------------
 
@@ -110,6 +118,15 @@ class TaskManager:
         task.completed_at = utcnow()
         task.updated_at = utcnow()
         self.storage.create(task)  # upsert with result (worker.rs:60-65)
+        if self.usage_hook is not None and task.config.api_key:
+            inner = getattr(result, "result", None)
+            tokens = int(getattr(inner, "n_tokens", 0) or 0)
+            audio_s = float(getattr(inner, "audio_seconds", 0.0) or 0.0)
+            if tokens or audio_s:
+                try:
+                    self.usage_hook(task.config.api_key, tokens, audio_s)
+                except Exception as e:  # accounting must not kill the worker
+                    log.error("usage accounting for %s failed: %s", task.id, e)
         try:
             self.handle_callback(task)
         except Exception as e:  # callbacks must not kill the worker

@@ -140,7 +140,9 @@ class TranscribeProcessor(TaskProcessor):
                     if hi > lo:
                         seg.emotion, _ = classify_emotion(audio[lo:hi], sr)
             return TaskResult.transcribe(
-                TranscribeTaskResult(text=full_text, segments=segments))
+                TranscribeTaskResult(text=full_text, segments=segments,
+                                     n_tokens=result.n_tokens,
+                                     audio_seconds=audio.size / 16000.0))
         finally:
             if delete_after:
                 try:

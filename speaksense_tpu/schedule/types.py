@@ -196,14 +196,25 @@ class ResultSegment:
 class TranscribeTaskResult:
     text: str = ""
     segments: list[ResultSegment] = field(default_factory=list)
+    # usage accounting (additive fields): decoder tokens sampled and audio
+    # seconds processed — TaskManager.complete_task forwards them to
+    # Auth.record_usage for the creating API key
+    n_tokens: int = 0
+    audio_seconds: float = 0.0
 
     def to_json(self) -> dict:
-        return {"text": self.text, "segments": [s.to_json() for s in self.segments]}
+        d = {"text": self.text, "segments": [s.to_json() for s in self.segments]}
+        if self.n_tokens or self.audio_seconds:
+            d["n_tokens"] = self.n_tokens
+            d["audio_seconds"] = self.audio_seconds
+        return d
 
     @classmethod
     def from_json(cls, d: dict) -> "TranscribeTaskResult":
         return cls(text=d.get("text", ""),
-                   segments=[ResultSegment.from_json(s) for s in d.get("segments", [])])
+                   segments=[ResultSegment.from_json(s) for s in d.get("segments", [])],
+                   n_tokens=int(d.get("n_tokens", 0)),
+                   audio_seconds=float(d.get("audio_seconds", 0.0)))
 
 
 @dataclass
@@ -285,9 +296,14 @@ class TaskConfig:
     retry_count: int = 0
     max_retries: int = 3
     timeout: int | None = None  # seconds
+    # API key the task was created under (REST bearer key) — completion
+    # advances its total_tokens/total_audio_seconds usage counters
+    # (TaskManager.usage_hook). Additive field: absent in reference task
+    # JSON, tolerated by serde-style readers.
+    api_key: str | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "task_type": self.task_type.value,
             "input_path": self.input_path,
             "path_type": self.path_type.value,
@@ -298,6 +314,9 @@ class TaskConfig:
             "max_retries": self.max_retries,
             "timeout": self.timeout,
         }
+        if self.api_key:
+            d["api_key"] = self.api_key
+        return d
 
     @classmethod
     def from_json(cls, d: dict) -> "TaskConfig":
@@ -311,6 +330,7 @@ class TaskConfig:
             retry_count=int(d.get("retry_count", 0)),
             max_retries=int(d.get("max_retries", 3)),
             timeout=d.get("timeout"),
+            api_key=d.get("api_key"),
         )
 
 

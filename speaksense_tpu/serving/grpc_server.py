@@ -48,10 +48,19 @@ class AsrService:
     src/grpc/handlers/asr.rs:20-138)."""
 
     def __init__(self, engine: AsrEngine, language: str = "zh", denoise: bool = True,
-                 executor=None, max_inflight: int | None = None):
+                 executor=None, max_inflight: int | None = None,
+                 auth=None, require_auth: bool = False):
         self.engine = engine
         self.language = language
         self.denoise = denoise
+        # OPTIONAL bearer auth on streams (off by default: the reference's
+        # gRPC front door is unauthenticated, SURVEY §1 L4). With an Auth
+        # service attached, an `authorization: Bearer <key>` metadata entry
+        # is verified against the same key store as REST; require_auth=True
+        # additionally rejects keyless streams. Authenticated streams get
+        # served-work usage accounting (total_tokens/total_audio_seconds).
+        self.auth = auth
+        self.require_auth = require_auth
         # chunks one stream may keep decoding concurrently while earlier
         # results are still being settled/serialized (session-level
         # pipelining; only effective on engines with nonblocking submission)
@@ -88,6 +97,25 @@ class AsrService:
         # engines without nonblocking submission decode inline during
         # ingest, preserving the old sequential behavior exactly.
         loop = asyncio.get_running_loop()
+        api_key: str | None = None
+        if self.auth is not None:
+            from speaksense_tpu.auth.types import AuthError, Permission
+
+            meta = dict(context.invocation_metadata() or ())
+            header = meta.get("authorization")
+            if header:
+                try:
+                    await loop.run_in_executor(
+                        None, self.auth.verify_api_key, header,
+                        Permission.TRANSCRIBE)
+                    api_key = header.split(" ")[-1]
+                except AuthError as e:
+                    await context.abort(grpc.StatusCode.UNAUTHENTICATED, str(e))
+            elif self.require_auth:
+                await context.abort(grpc.StatusCode.UNAUTHENTICATED,
+                                    "missing authorization metadata")
+            # else: keyless stream allowed (reference wire compat) — no
+            # usage accounting
         session: StreamSession | None = None
         q: asyncio.Queue = asyncio.Queue(maxsize=self.max_inflight)
 
@@ -150,6 +178,14 @@ class AsrService:
             await context.abort(grpc.StatusCode.INTERNAL, str(e))
         finally:
             ingest_task.cancel()
+            if api_key and session is not None and (
+                    session.usage_tokens or session.usage_audio_seconds):
+                try:
+                    await loop.run_in_executor(
+                        None, self.auth.record_usage, api_key,
+                        session.usage_tokens, session.usage_audio_seconds)
+                except Exception as e:  # accounting must not mask stream errors
+                    log.error("stream usage accounting failed: %s", e)
 
     def handler(self) -> grpc.GenericRpcHandler:
         rpc = grpc.stream_stream_rpc_method_handler(
@@ -176,7 +212,8 @@ class GrpcServer:
     (reference GrpcServer, src/grpc/server.rs:22-99)."""
 
     def __init__(self, engine: AsrEngine, port: int = 7300, registry=None,
-                 service_name: str = "asr", language: str = "zh", denoise: bool = True):
+                 service_name: str = "asr", language: str = "zh", denoise: bool = True,
+                 auth=None, require_auth: bool = False):
         self.engine = engine
         self.port = port
         self.registry = registry
@@ -184,6 +221,8 @@ class GrpcServer:
         self.node_id = f"{service_name}-{uuid.uuid4()}"
         self.language = language
         self.denoise = denoise
+        self.auth = auth
+        self.require_auth = require_auth
         self._server: grpc.aio.Server | None = None
 
     def service_info(self) -> dict:
@@ -207,7 +246,8 @@ class GrpcServer:
 
     async def start(self) -> None:
         self._server = grpc.aio.server()
-        svc = AsrService(self.engine, language=self.language, denoise=self.denoise)
+        svc = AsrService(self.engine, language=self.language, denoise=self.denoise,
+                         auth=self.auth, require_auth=self.require_auth)
         self._server.add_generic_rpc_handlers((svc.handler(),))
         bound = self._server.add_insecure_port(f"0.0.0.0:{self.port}")
         if bound == 0:

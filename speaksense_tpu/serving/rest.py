@@ -91,6 +91,8 @@ async def asr_transcribe(request: web.Request) -> web.Response:
             retry_count=0,
             max_retries=3,
             timeout=None,
+            # completion-time usage accounting is attributed to this key
+            api_key=auth_header.split(" ")[-1] if auth_header else None,
         )
     except (KeyError, ValueError, TypeError) as e:
         return _http_envelope(400, "Invalid request", str(e), status=400)

@@ -261,6 +261,11 @@ class StreamSession:
         self.buffer = bytearray()
         # 2 bytes/sample s16: a chunk_bytes chunk is chunk_bytes/(2*rate) s
         self.ctx = StreamContext(block_seconds=chunk_bytes / (2.0 * SAMPLE_RATE))
+        # usage accounting for authenticated streams (Auth.record_usage):
+        # decoder tokens sampled + audio seconds decoded, accumulated per
+        # settled chunk and read once at stream end by the transport
+        self.usage_tokens = 0
+        self.usage_audio_seconds = 0.0
 
     def feed(self, audio_b64: bytes, device_id: str = "") -> list[StreamEvent]:
         """Buffer inbound bytes and transcribe every complete chunk, blocking
@@ -374,6 +379,8 @@ class StreamSession:
             result = pending  # inline-decoded TranscribeResult
         events: list[StreamEvent] = []
         if result is not None:
+            self.usage_tokens += result.n_tokens
+            self.usage_audio_seconds += self.chunk_bytes / (2.0 * SAMPLE_RATE)
             for segment in result.segments:
                 new_text = process_text(segment.text, self.ctx.last_text, [segment])
                 if new_text is None:
@@ -398,6 +405,8 @@ class StreamSession:
             except Exception as e:
                 log.error("final ASR flush failed: %s", e)
                 return events
+            self.usage_tokens += result.n_tokens
+            self.usage_audio_seconds += audio.size / SAMPLE_RATE
             final_text = process_text(result.full_text, self.ctx.last_text, result.segments)
             if final_text is not None:
                 adjusted = [

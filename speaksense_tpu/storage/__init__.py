@@ -101,3 +101,16 @@ class ApiKeyStatsStorage(abc.ABC):
         stats = self.get_stats(api_key) or ApiKeyStats()
         stats.update()
         self.update_stats(api_key, stats)
+
+    def add_usage(self, api_key: str, tokens: int = 0,
+                  audio_seconds: float = 0.0) -> None:
+        """Accumulate served-work counters (total_tokens /
+        total_audio_seconds — the columns the reference reserves at
+        key_stats_entity.rs:14-15 and never fills). SQL backends override
+        with a single increment UPDATE."""
+        from speaksense_tpu.auth.types import ApiKeyStats
+
+        stats = self.get_stats(api_key) or ApiKeyStats()
+        stats.total_tokens += int(tokens)
+        stats.total_audio_seconds += float(audio_seconds)
+        self.update_stats(api_key, stats)

@@ -409,11 +409,12 @@ class SqliteKeyStorage(_SqliteBase, KeyStorage, ApiKeyStatsStorage):
     def get_stats(self, api_key: str) -> Optional[ApiKeyStats]:
         with self._lock:
             row = self._conn.execute(
-                "SELECT requests_today, last_request_at, total_requests "
+                "SELECT requests_today, last_request_at, total_requests, "
+                "total_tokens, total_audio_seconds "
                 "FROM api_key_stats WHERE key = ?", (api_key,)).fetchone()
         if not row:
             return None
-        today_count, last, total = row
+        today_count, last, total, total_tokens, total_audio = row
         today = _dt.datetime.now(_dt.timezone.utc).date().isoformat()
         with self._lock:
             daily = self._conn.execute(
@@ -425,7 +426,9 @@ class SqliteKeyStorage(_SqliteBase, KeyStorage, ApiKeyStatsStorage):
         else:  # pre-history DBs: reference behavior (key/mod.rs:92-104)
             per_day = {today: int(today_count)}
         stats = ApiKeyStats(total_requests=int(total),
-                            requests_today=int(today_count))
+                            requests_today=int(today_count),
+                            total_tokens=int(total_tokens or 0),
+                            total_audio_seconds=float(total_audio or 0.0))
         if last:
             stats.last_used_at = _dt_from_db(last)
         stats.requests_per_day = per_day
@@ -439,12 +442,16 @@ class SqliteKeyStorage(_SqliteBase, KeyStorage, ApiKeyStatsStorage):
             self._conn.execute(
                 "INSERT INTO api_key_stats (key, requests_today, requests_this_hour, "
                 "requests_this_minute, last_request_at, total_requests, total_tokens, "
-                "total_audio_seconds, updated_at) VALUES (?,?,0,0,?,?,0,0,?) "
+                "total_audio_seconds, updated_at) VALUES (?,?,0,0,?,?,?,?,?) "
                 "ON CONFLICT(key) DO UPDATE SET requests_today=excluded.requests_today, "
                 "last_request_at=excluded.last_request_at, "
-                "total_requests=excluded.total_requests, updated_at=excluded.updated_at",
+                "total_requests=excluded.total_requests, "
+                "total_tokens=excluded.total_tokens, "
+                "total_audio_seconds=excluded.total_audio_seconds, "
+                "updated_at=excluded.updated_at",
                 (api_key, stats.requests_today, _dt_to_db(stats.last_used_at),
-                 stats.total_requests, now))
+                 stats.total_requests, int(stats.total_tokens),
+                 float(stats.total_audio_seconds), now))
             # durable 30-day history (pruned like ApiKeyStats.update,
             # auth/stats.rs:46-48)
             for date, n in stats.requests_per_day.items():
@@ -491,4 +498,24 @@ class SqliteKeyStorage(_SqliteBase, KeyStorage, ApiKeyStatsStorage):
                 self._conn.execute(
                     "DELETE FROM api_key_daily_usage WHERE key = ? AND date < ?",
                     (api_key, cutoff))
+            self._conn.commit()
+
+    def add_usage(self, api_key: str, tokens: int = 0,
+                  audio_seconds: float = 0.0) -> None:
+        """Served-work accounting fast path: one increment upsert on the
+        stats row (total_tokens / total_audio_seconds, the columns the
+        reference reserves at key_stats_entity.rs:14-15 and never fills)."""
+        now = _dt_to_db(_dt.datetime.now(_dt.timezone.utc))
+        with self._lock:
+            self._conn.execute(
+                "INSERT INTO api_key_stats (key, requests_today, "
+                "requests_this_hour, requests_this_minute, last_request_at, "
+                "total_requests, total_tokens, total_audio_seconds, "
+                "updated_at) VALUES (?,0,0,0,?,0,?,?,?) "
+                "ON CONFLICT(key) DO UPDATE SET "
+                "total_tokens = total_tokens + excluded.total_tokens, "
+                "total_audio_seconds = total_audio_seconds + "
+                "excluded.total_audio_seconds, "
+                "updated_at = excluded.updated_at",
+                (api_key, now, int(tokens), float(audio_seconds), now))
             self._conn.commit()

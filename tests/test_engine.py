@@ -167,3 +167,71 @@ def test_min_segment_length_merges_short_segments(engine):
                           start=0.5, end=2.0),
     ]
     assert len(WhisperEngine._merge_short_segments(segs3, 10)) == 2
+
+
+def test_entropy_fallback_gate():
+    """whisper.cpp's entropy_thold gate (whisper.rs:164): a >32-token tail
+    cycling through few distinct tokens has histogram entropy < 2.4 and must
+    trigger a retry; diverse output must not."""
+    from speaksense_tpu.asr import postprocess as PP
+
+    repetitive = [5, 6] * 30                 # 60 tokens, 2 distinct
+    assert PP.token_entropy(repetitive) < 1.0
+    diverse = list(range(100, 160))          # 60 distinct tokens
+    assert PP.token_entropy(diverse) > 3.0
+    assert PP.token_entropy([]) == 0.0
+    # only the last `window` tokens count: a diverse tail rescues a
+    # repetitive prefix (whisper.cpp windows the LAST 32)
+    assert PP.token_entropy(repetitive + diverse) > 3.0
+
+
+def test_entropy_gate_retry_decision():
+    """needs_fallback_retry: the entropy gate fires only on a >32-token
+    low-entropy candidate, independently of the other two gates."""
+    from speaksense_tpu.asr.engine import needs_fallback_retry
+
+    cfg = EngineConfig()
+    good = dict(compression_ratio=1.2, avg_logprob=-0.3, n_sampled=60,
+                token_entropy=3.5)
+    assert not needs_fallback_retry(good, cfg)
+    # repetitive tail: 60 sampled tokens, near-zero histogram entropy
+    repetitive = dict(good, token_entropy=0.3)
+    assert needs_fallback_retry(repetitive, cfg)
+    # whisper.cpp's result_len > 32 guard: short outputs never entropy-fail
+    short = dict(good, n_sampled=20, token_entropy=0.0)
+    assert not needs_fallback_retry(short, cfg)
+    # the other gates still fire on their own
+    assert needs_fallback_retry(dict(good, compression_ratio=5.0), cfg)
+    assert needs_fallback_retry(dict(good, avg_logprob=-3.0), cfg)
+    # slot-pool candidates carry no token_entropy key: gate must not crash
+    assert not needs_fallback_retry(
+        dict(compression_ratio=1.0, avg_logprob=-0.2, n_sampled=60), cfg)
+
+
+def test_engine_int8_weights_init_idempotent():
+    """ADVICE r2: weights_int8 + fuse_qkv engine init must leave int8 'wq'
+    with FLOAT32 'ws' scales (bf16 scales would compound quantization
+    error), and re-constructing from the already-transformed params must be
+    idempotent."""
+    import jax
+    import jax.numpy as jnp
+
+    params = init_params(TINY_DIMS, jax.random.PRNGKey(0))
+    tok = Tokenizer.synthetic(TINY_DIMS.n_vocab)
+    cfg = EngineConfig(compute_dtype="bfloat16", weights_int8=True,
+                       fuse_qkv=True, best_of=1)
+    eng = WhisperEngine(params, TINY_DIMS, tok, config=cfg, name="int8-test")
+    qkv = eng.params["decoder"]["blocks"]["qkv"]
+    assert qkv["wq"].dtype == jnp.int8
+    assert qkv["ws"].dtype == jnp.float32
+    fc1 = eng.params["decoder"]["blocks"]["fc1"]
+    assert fc1["wq"].dtype == jnp.int8 and fc1["ws"].dtype == jnp.float32
+
+    # idempotent: constructing again from the transformed tree must not
+    # re-quantize or cast the scales
+    eng2 = WhisperEngine(jax.tree.map(np.asarray, eng.params), TINY_DIMS, tok,
+                         config=cfg, name="int8-test-2")
+    qkv2 = eng2.params["decoder"]["blocks"]["qkv"]
+    assert qkv2["wq"].dtype == jnp.int8
+    assert qkv2["ws"].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(qkv["wq"]), np.asarray(qkv2["wq"]))

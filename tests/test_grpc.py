@@ -245,3 +245,85 @@ def test_backlogged_stream_pipelines_through_slot_pool():
         assert sorted(pool.free) == [0, 1]
     finally:
         engine.disable_slot_serving()
+
+
+def _make_auth(tmp_path):
+    from speaksense_tpu.auth import Auth
+    from speaksense_tpu.storage.sqlite import SqliteKeyStorage
+
+    ks = SqliteKeyStorage(tmp_path / "keys.sqlite")
+    auth = Auth(ks, ks)
+    admin = auth.initialize_admin_key()
+    return auth, admin.key, ks
+
+
+async def _run_stream_authed(requests, auth=None, require_auth=False,
+                             metadata=None):
+    engine = FakeAsrEngine()
+    server = GrpcServer(engine, port=0, registry=None, language="en",
+                        denoise=False, auth=auth, require_auth=require_auth)
+    await server.start()
+    try:
+        async with grpc.aio.insecure_channel(f"127.0.0.1:{server.port}") as channel:
+            call = channel.stream_stream(
+                SERVICE_PATH,
+                request_serializer=asr_pb2.TranscribeRequest.SerializeToString,
+                response_deserializer=asr_pb2.TranscribeResponse.FromString,
+            )(iter(requests), metadata=metadata)
+            return [r async for r in call]
+    finally:
+        await server.stop(grace=0.1)
+
+
+def test_grpc_authenticated_stream_meters_usage(tmp_path):
+    """VERDICT r2 item 9: bearer auth on gRPC streams, checked against the
+    SAME key store as REST; an authenticated stream's served work advances
+    the key's total_tokens/total_audio_seconds usage counters."""
+    auth, admin_key, ks = _make_auth(tmp_path)
+    requests = [
+        asr_pb2.TranscribeRequest(type=asr_pb2.PCM, end=0, audio=_pcm_b64(6.0)),
+        asr_pb2.TranscribeRequest(type=asr_pb2.PCM, end=1, audio=_pcm_b64(1.0)),
+    ]
+    responses = asyncio.run(_run_stream_authed(
+        requests, auth=auth,
+        metadata=(("authorization", f"Bearer {admin_key}"),)))
+    assert responses and responses[-1].end == 1
+    stats = auth.get_key_stats(admin_key)
+    assert stats.total_requests == 1          # verify bumps once per stream
+    assert stats.total_tokens > 0             # settled chunks metered
+    assert stats.total_audio_seconds > 4.0    # >= one 5 s chunk + tail
+    ks.close()
+
+
+def test_grpc_invalid_key_rejected(tmp_path):
+    auth, _, ks = _make_auth(tmp_path)
+    requests = [asr_pb2.TranscribeRequest(type=asr_pb2.PCM, end=1,
+                                          audio=_pcm_b64(1.0))]
+    with pytest.raises(grpc.aio.AioRpcError) as ei:
+        asyncio.run(_run_stream_authed(
+            requests, auth=auth,
+            metadata=(("authorization", "Bearer key-nope"),)))
+    assert ei.value.code() == grpc.StatusCode.UNAUTHENTICATED
+    ks.close()
+
+
+def test_grpc_keyless_stream_allowed_in_optional_mode(tmp_path):
+    """Wire compat: with auth attached but require_auth=False, a keyless
+    stream still serves (the reference's gRPC door is unauthenticated)."""
+    auth, admin_key, ks = _make_auth(tmp_path)
+    requests = [asr_pb2.TranscribeRequest(type=asr_pb2.PCM, end=1,
+                                          audio=_pcm_b64(1.0))]
+    responses = asyncio.run(_run_stream_authed(requests, auth=auth))
+    assert responses and responses[-1].end == 1
+    assert auth.get_key_stats(admin_key).total_requests == 0  # not metered
+    ks.close()
+
+
+def test_grpc_required_mode_rejects_keyless(tmp_path):
+    auth, _, ks = _make_auth(tmp_path)
+    requests = [asr_pb2.TranscribeRequest(type=asr_pb2.PCM, end=1,
+                                          audio=_pcm_b64(1.0))]
+    with pytest.raises(grpc.aio.AioRpcError) as ei:
+        asyncio.run(_run_stream_authed(requests, auth=auth, require_auth=True))
+    assert ei.value.code() == grpc.StatusCode.UNAUTHENTICATED
+    ks.close()

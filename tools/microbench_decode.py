@@ -63,7 +63,11 @@ def main(variants):
         50-step scan — comparable against the ablation variants.
         kv_write selects the batched self-KV write formulation; fuse runs
         with fuse_qkv_weights applied."""
-        p = W.fuse_qkv_weights(params) if fuse else params
+        # device-place the fused entries: fuse_qkv_weights returns HOST numpy
+        # for them, and numpy args re-upload per call through the remote
+        # relay (~600 MB/iteration), corrupting the timing
+        p = (jax.tree.map(jnp.asarray, W.fuse_qkv_weights(params))
+             if fuse else params)
 
         def run(params, cache):
             def body(carry, _):
