@@ -55,6 +55,9 @@ class EngineState:
     prev_text: str = ""
     context_tokens: list = field(default_factory=list)  # stream conditioning
     lock: threading.Lock = field(default_factory=threading.Lock)
+    # conditioned-pipelining bound: chunks of THIS stream submitted but not
+    # yet settled with conditioning active (see submit_stream_chunk)
+    inflight_conditioned: int = 0
 
 
 def needs_fallback_retry(cand: dict, config: EngineConfig) -> bool:
@@ -77,20 +80,29 @@ class _PendingChunk:
     conditioning-context update is ordered by that discipline, not a lock
     (the sequential path holds state.lock for the whole chunk instead)."""
 
-    __slots__ = ("engine", "state", "future", "n_samples", "params", "language")
+    __slots__ = ("engine", "state", "future", "n_samples", "params", "language",
+                 "conditioned")
 
-    def __init__(self, engine, state, future, n_samples, params, language):
+    def __init__(self, engine, state, future, n_samples, params, language,
+                 conditioned: bool = False):
         self.engine = engine
         self.state = state
         self.future = future
         self.n_samples = n_samples
         self.params = params
         self.language = language
+        self.conditioned = conditioned
 
     def settle(self) -> TranscribeResult:
-        raw = self.future.result()
-        result = self.engine._finish_slot_chunk(raw, self.n_samples, self.params,
-                                                self.language, self.state)
+        try:
+            raw = self.future.result()
+            result = self.engine._finish_slot_chunk(raw, self.n_samples,
+                                                    self.params, self.language,
+                                                    self.state)
+        finally:
+            if self.conditioned and self.state is not None:
+                with self.state.lock:
+                    self.state.inflight_conditioned -= 1
         if self.state is not None:
             self.state.language = result.language or self.state.language
         return result
@@ -141,6 +153,38 @@ class WhisperEngine(AsrEngine):
         }
         self._jit_cache: dict = {}
         self._rng = np.random.default_rng(0)
+        self.mesh = None  # set by shard(): (dp, tp) serving mesh
+
+    # ------------------------------------------------------------------ shard
+
+    def shard(self, mesh) -> None:
+        """Place the engine's parameters on a (dp, tp) serving mesh
+        (parallel/mesh.py Megatron layout: attention/MLP projections split
+        over tp, everything else replicated). Every program compiled after
+        this — window decode, beam, slot-pool admit/step — runs SPMD with
+        XLA-inserted ICI collectives. This is the production mapping of the
+        reference's n_threads=16 intra-op knob (whisper.rs:143 — SURVEY §2
+        parallelism table: 'shard encoder over ICI if model > 1 chip').
+
+        Call BEFORE enable_slot_serving so the pool's KV pages shard too
+        (slots on dp, heads on tp)."""
+        from speaksense_tpu.parallel import shard_params
+
+        if getattr(self, "_slot_server", None) is not None:
+            raise RuntimeError("shard() must run before enable_slot_serving "
+                               "(the pool's pages must shard with the params)")
+        self.params = shard_params(self.params, mesh)
+        # suppress masks are tiny but participate in every decode program;
+        # replicate them explicitly so SPMD sharding propagation never
+        # guesses a partition for them
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self._suppress = {k: jax.device_put(v, NamedSharding(mesh, P(None)))
+                          for k, v in self._suppress.items()}
+        self.mesh = mesh
+        log.info("engine sharded over mesh %s (dp=%d, tp=%d)", mesh.devices.shape,
+                 mesh.shape["dp"], mesh.shape["tp"])
 
     # ------------------------------------------------------------------ load
 
@@ -685,7 +729,8 @@ class WhisperEngine(AsrEngine):
     def enable_slot_serving(self, n_slots: int | None = None,
                             t_mel: int = 512, max_new: int = 96,
                             int8_kv: bool | None = None,
-                            max_prompt: int = 16) -> None:
+                            max_prompt: int = 16,
+                            beam_size: int | None = None) -> None:
         """Route streaming chunks through the token-level slot pool
         (runtime/slots.py): concurrent gRPC streams then join/leave the
         decode batch at token granularity instead of window granularity.
@@ -699,14 +744,31 @@ class WhisperEngine(AsrEngine):
         NOTE the pool serves ONE mel bucket (t_mel): a stream chunk whose
         frame bucket differs (e.g. a >10 s chunk bucketing to 1024) falls
         back to the window batcher — correct but slower; size chunk_bytes
-        to the bucket when using slot serving."""
+        to the bucket when using slot serving.
+
+        On a sharded engine (shard() called first) the pool's pages shard
+        with the params: slot rows on dp, heads on tp. The slot count is
+        rounded DOWN so the pool's S+1 rows divide dp."""
         from speaksense_tpu.runtime.slots import StreamingDecodeServer
 
+        n_slots = n_slots or self.config.stream_slots
+        if self.mesh is not None:
+            dp = self.mesh.shape["dp"]
+            rounded = max(dp, (n_slots + 1) // dp * dp) - 1
+            if rounded != n_slots:
+                log.info("slot pool: %d slots -> %d so S+1 rows divide dp=%d",
+                         n_slots, rounded, dp)
+            n_slots = rounded
+        # beam_size=None inherits the engine's --beam-size config, so a beam
+        # server pools beam decoding instead of falling back to the window
+        # batcher (BASELINE config 4: 64 streams, paged KV, beam=5)
+        if beam_size is None:
+            beam_size = self.config.beam_size or 1
         self._slot_server = StreamingDecodeServer(
-            self, n_slots=n_slots or self.config.stream_slots,
+            self, n_slots=n_slots,
             t_mel=t_mel, max_new=max_new,
             int8_kv=self.config.cross_kv_int8 if int8_kv is None else int8_kv,
-            max_prompt=max_prompt)
+            max_prompt=max_prompt, mesh=self.mesh, beam_size=beam_size)
 
     @property
     def device_denoise(self) -> bool:
@@ -769,13 +831,37 @@ class WhisperEngine(AsrEngine):
         n_frames = max(1, audio.size // MEL.HOP_LENGTH)
         if self._mel_bucket(n_frames) != server.pool.t_mel:
             return None
+        context = None
+        conditioned = False
         if (state is not None and params.condition_on_previous_text
                 and server.pool.max_prompt > 16):
-            return None
+            # BOUNDED conditioned pipelining (VERDICT r2 item 8): the
+            # admission prompt carries a SNAPSHOT of the stream's context at
+            # submit time, so conditioning no longer disables pipelining.
+            # With up to 2 chunks of one stream in flight, chunk k+1's
+            # prompt can lag chunk k's text by ONE chunk — a documented,
+            # parity-tested divergence from strictly sequential conditioning
+            # (identical whenever the stream isn't backlogged: settle k
+            # completes before submit k+1, so the snapshot is current).
+            # Past the bound the chunk falls back to the sequential path,
+            # which settles in order and reads fully-updated context.
+            with state.lock:
+                if state.inflight_conditioned >= 2:
+                    return None
+                state.inflight_conditioned += 1
+                context = list(state.context_tokens) or None
+            conditioned = True
         language = params.language or (state.language if state else None) or "en"
-        fut = server.submit_audio(audio, language=language, task=params.task,
-                                  denoise=params.denoise)
-        return _PendingChunk(self, state, fut, audio.size, params, language)
+        try:
+            fut = server.submit_audio(audio, language=language, task=params.task,
+                                      context=context, denoise=params.denoise)
+        except Exception:
+            if conditioned:
+                with state.lock:
+                    state.inflight_conditioned -= 1
+            raise
+        return _PendingChunk(self, state, fut, audio.size, params, language,
+                             conditioned=conditioned)
 
     def _transcribe_stream_chunk(self, audio, params: AsrParams,
                                  decode_window=None,

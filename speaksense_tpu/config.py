@@ -93,6 +93,11 @@ class Config:
     # "optional" (verify+meter `authorization` metadata when present),
     # "required" (reject keyless streams)
     grpc_auth: str = "off"
+    # multi-chip serving: tp shards the model over ICI (Megatron layout),
+    # dp spans the remaining local chips (0 = auto: local_devices // tp).
+    # tp=1 on one chip builds no mesh (single-chip programs unchanged).
+    tp: int = 1
+    dp: int = 0
     engine: EngineConfig = field(default_factory=EngineConfig)
 
     @property
@@ -115,6 +120,8 @@ class Config:
             grpc_port=int(_env("ASR_GRPC_PORT", dotenv, "7300")),
             task_workers=int(_env("SPEAKSENSE_TASK_WORKERS", dotenv, "4")),
             grpc_auth=_env("SPEAKSENSE_GRPC_AUTH", dotenv, "off"),
+            tp=int(_env("SPEAKSENSE_TP", dotenv, "1")),
+            dp=int(_env("SPEAKSENSE_DP", dotenv, "0")),
         )
 
     def init_dirs(self) -> None:

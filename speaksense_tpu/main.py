@@ -90,6 +90,24 @@ async def serve(config: Config, fake_engine: bool = False,
         init_distributed()
     engine = build_engine(config, fake=fake_engine)
     inner = getattr(engine, "engine", engine)
+    if not fake_engine and hasattr(inner, "shard"):
+        # PRODUCTION multi-chip serving: --tp shards the model over ICI
+        # (Megatron layout, parallel/mesh.py), dp spans the remaining local
+        # chips (slot rows / window batch). tp=1 on a single chip builds no
+        # mesh at all — the exact single-chip programs of old.
+        import jax
+
+        from speaksense_tpu.parallel import make_mesh
+
+        n_local = len(jax.local_devices())
+        tp = max(1, config.tp)
+        dp = config.dp or max(1, n_local // tp)
+        if tp * dp > n_local:
+            raise ValueError(f"tp={tp} x dp={dp} exceeds {n_local} local devices")
+        if tp > 1 or dp > 1:
+            mesh = make_mesh(n_devices=tp * dp, tp=tp,
+                             devices=jax.local_devices())
+            inner.shard(mesh)
     if slot_serving and hasattr(inner, "enable_slot_serving"):
         inner.enable_slot_serving(max_prompt=slot_prompt)
     ctx, scheduler = build_context(config, engine)
@@ -156,6 +174,12 @@ def main() -> None:
                         help="int8 decoder block weights (per-out-channel scales)")
     parser.add_argument("--beam-size", type=int, default=None,
                         help="beam search width at t=0 (default greedy)")
+    parser.add_argument("--tp", type=int, default=None,
+                        help="tensor-parallel width: shard the model over "
+                             "tp ICI-connected chips (Megatron layout); "
+                             "default 1 (no sharding on a single chip)")
+    parser.add_argument("--dp", type=int, default=None,
+                        help="data-parallel width (default: local chips / tp)")
     parser.add_argument("--slot-serving", action="store_true",
                         help="route streaming chunks through the token-level "
                              "slot pool (runtime/slots.py) instead of the "
@@ -167,6 +191,16 @@ def main() -> None:
                              "larger per-slot KV page)")
     args = parser.parse_args()
 
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # the axon sitecustomize force-registers the tunneled-TPU backend
+        # and overrides JAX_PLATFORMS; honor an explicit cpu request (CI,
+        # virtual-mesh verification) BEFORE any backend init — same dance
+        # as tests/conftest.py and __graft_entry__.dryrun_multichip
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     config = Config.from_env()
     if args.model:
         config.model_path = args.model
@@ -182,6 +216,10 @@ def main() -> None:
         config.engine.weights_int8 = True
     if args.beam_size:
         config.engine.beam_size = args.beam_size
+    if args.tp:
+        config.tp = args.tp
+    if args.dp:
+        config.dp = args.dp
 
     logsetup.init(config.log_dir)
     asyncio.run(serve(config, fake_engine=args.fake_engine,

@@ -71,7 +71,7 @@ class SlotPool:
     def __init__(self, engine, n_slots: int, t_mel: int, max_new: int,
                  with_timestamps: bool = True, int8_kv: bool = False,
                  self_int8: bool = False, ring_width: int = 16,
-                 max_prompt: int = 16):
+                 max_prompt: int = 16, mesh=None):
         """int8_kv: int8 CROSS-attention KV pages (read-only after admission
         — pure byte saving). self_int8: int8 SELF-KV pages too; this forces
         the legacy per-slot write path (the ring stores bf16 rows), so it is
@@ -122,6 +122,15 @@ class SlotPool:
         # (its active flag is always forced False)
         self._dtype = dtype
         self._t_text = t_text
+        # (dp, tp) serving mesh: pool pages shard slot-rows on dp, heads on
+        # tp (parallel/mesh.pool_state_shardings); admit/step programs then
+        # compile SPMD with XLA collectives on ICI
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape["dp"]
+            assert (S + 1) % dp == 0, (
+                f"pool rows S+1={S + 1} must divide the mesh's dp={dp} "
+                f"(engine.enable_slot_serving rounds the slot count)")
         self._init_state()
         # telemetry: admission batching + occupancy (serving-tuning data)
         self.admit_calls = 0
@@ -183,6 +192,13 @@ class SlotPool:
                 cnt=jnp.zeros((S + 1,), jnp.int32),
                 plen=jnp.ones((S + 1,), jnp.int32),
                 ppad=jnp.ones((S + 1,), jnp.int32))
+        if self.mesh is not None:
+            # sharded serving: pool pages live distributed from the start so
+            # EVERY admit/step dispatch (and every reset-recovery rebuild)
+            # is SPMD — same placement path as the driver's multichip dryrun
+            from speaksense_tpu.parallel import shard_pool_state
+
+            self.state = shard_pool_state(self.state, self.mesh)
         self.free: list[int] = list(range(S))
         self.jobs: dict[int, _StreamJob] = {}
         self.ring_fill = 0   # host mirror of ring_n (deterministic)
@@ -687,10 +703,21 @@ class StreamingDecodeServer:
     def __init__(self, engine, n_slots: int = 16, t_mel: int = 3000,
                  max_new: int = 128, int8_kv: bool = False,
                  poll_interval: int = 1, steps_per_dispatch: int = 16,
-                 self_int8: bool = False, max_prompt: int = 16):
+                 self_int8: bool = False, max_prompt: int = 16, mesh=None,
+                 beam_size: int = 1):
         self.engine = engine
-        self.pool = SlotPool(engine, n_slots, t_mel, max_new, int8_kv=int8_kv,
-                             self_int8=self_int8, max_prompt=max_prompt)
+        if beam_size and beam_size > 1:
+            # beam=K continuous batching (BASELINE config 4's beam=5):
+            # ancestor-indirected beam pages, same host protocol
+            from speaksense_tpu.runtime.beam_slots import BeamSlotPool
+
+            self.pool = BeamSlotPool(engine, n_slots, t_mel, max_new,
+                                     beam_size=beam_size, int8_kv=int8_kv,
+                                     max_prompt=max_prompt, mesh=mesh)
+        else:
+            self.pool = SlotPool(engine, n_slots, t_mel, max_new,
+                                 int8_kv=int8_kv, self_int8=self_int8,
+                                 max_prompt=max_prompt, mesh=mesh)
         # retire finished slots every N dispatches: each retirement check is
         # a device->host fetch, i.e. a full round trip on remote backends
         self.poll_interval = max(1, poll_interval)

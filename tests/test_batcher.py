@@ -60,7 +60,7 @@ def test_slot_independence(rng):
 
     params = init_params(TINY_DIMS, jax.random.PRNGKey(0))
     tok = Tokenizer.synthetic(TINY_DIMS.n_vocab)
-    cfg = EngineConfig(compute_dtype="float32", logprob_thold=-1e9,
+    cfg = EngineConfig(compute_dtype="float32", logprob_thold=-1e9, entropy_thold=-1.0,
                        compression_ratio_thold=1e9)
     eng = WhisperEngine(params, TINY_DIMS, tok, config=cfg)
 
@@ -124,7 +124,7 @@ def test_config_beam_size_reaches_batched_decode(rng):
     params = init_params(TINY_DIMS, jax.random.PRNGKey(0))
     tok = Tokenizer.synthetic(TINY_DIMS.n_vocab)
     cfg = EngineConfig(compute_dtype="float32", max_batch_size=2, beam_size=2,
-                       logprob_thold=-1e9)  # no fallback: keep t=0 beam result
+                       logprob_thold=-1e9, entropy_thold=-1.0)  # no fallback: keep t=0 beam result
     engine = WhisperEngine(params, TINY_DIMS, tok, config=cfg)
     batched = BatchedEngine(engine, max_batch=2, max_wait_ms=5.0)
     try:

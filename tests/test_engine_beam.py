@@ -19,7 +19,7 @@ def test_decode_windows_beam(rng):
 
     params = init_params(DIMS, jax.random.PRNGKey(0))
     tok = Tokenizer.synthetic(DIMS.n_vocab)
-    cfg = EngineConfig(compute_dtype="float32", logprob_thold=-1e9,
+    cfg = EngineConfig(compute_dtype="float32", logprob_thold=-1e9, entropy_thold=-1.0,
                        compression_ratio_thold=1e9)
     eng = WhisperEngine(params, DIMS, tok, config=cfg)
     mels = eng.compute_mel((rng.standard_normal((2, 16000)) * 0.1).astype(np.float32))

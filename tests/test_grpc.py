@@ -154,7 +154,8 @@ def test_grpc_stream_uses_config_beam():
         n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
         n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
         n_text_head=4, n_text_layer=2)
-    cfg = EngineConfig(compute_dtype="float32", beam_size=2, logprob_thold=-1e9)
+    cfg = EngineConfig(compute_dtype="float32", beam_size=2, logprob_thold=-1e9,
+                       entropy_thold=-1.0)
     engine = WhisperEngine(init_params(dims, jax.random.PRNGKey(0)), dims,
                            Tokenizer.synthetic(dims.n_vocab), config=cfg)
 

@@ -170,7 +170,8 @@ def test_pool_conditioned_prompt_matches_window_path(engine, rng):
     eng = WhisperEngine(_init(DIMS, jax.random.PRNGKey(0)), DIMS,
                         Tokenizer.synthetic(DIMS.n_vocab),
                         config=EngineConfig(compute_dtype="float32",
-                                            best_of=1, logprob_thold=-1e9))
+                                            best_of=1, logprob_thold=-1e9,
+                                            entropy_thold=-1.0))
     server = StreamingDecodeServer(eng, n_slots=2, max_new=12, max_prompt=64)
     try:
         mel = _mel(eng, rng, 0.1)
@@ -270,16 +271,28 @@ def test_submit_stream_chunk_gating(engine, rng):
     finally:
         engine.disable_slot_serving()
 
-    # conditioning that reaches the admission prompt (max_prompt > 16) -> None
-    engine.enable_slot_serving(n_slots=2, t_mel=512, max_new=8, max_prompt=64)
+    # conditioning that reaches the admission prompt (max_prompt > 16):
+    # BOUNDED pipelining (VERDICT r2 item 8) — snapshot context at submit,
+    # at most 2 chunks of one stream in flight, then fall back to the
+    # ordered sequential path
+    engine.enable_slot_serving(n_slots=4, t_mel=512, max_new=8, max_prompt=64)
     try:
         state = engine.create_state()
         state.context_tokens = [5, 6, 7]
+        p1 = engine.submit_stream_chunk(state, audio, stream)
+        assert p1 is not None and state.inflight_conditioned == 1
+        p2 = engine.submit_stream_chunk(state, audio, stream)
+        assert p2 is not None and state.inflight_conditioned == 2
+        # third concurrent conditioned chunk exceeds the bound -> sequential
         assert engine.submit_stream_chunk(state, audio, stream) is None
-        # with conditioning disabled the same pool pipelines fine
-        nc = AsrParams(language="en", stream_mode=True,
-                       condition_on_previous_text=False)
-        assert engine.submit_stream_chunk(state, audio, nc) is not None
+        p1.settle()
+        assert state.inflight_conditioned == 1
+        p2.settle()
+        assert state.inflight_conditioned == 0
+        # drained: submission pipelines again
+        p4 = engine.submit_stream_chunk(state, audio, stream)
+        assert p4 is not None
+        p4.settle()
     finally:
         engine.disable_slot_serving()
 
@@ -414,3 +427,80 @@ def test_pool_reset_fails_jobs_and_rebuilds():
     assert pool.n_active == 0
     assert sorted(pool.free) == [0, 1]
     assert pool.state_healthy()
+
+
+def test_conditioned_pipelining_trickle_parity(engine, rng):
+    """VERDICT r2 item 8 parity criterion: when a conditioned stream is NOT
+    backlogged (each chunk settles before the next is submitted), the
+    pipelined submit/settle path must produce EXACTLY the sequential
+    transcribe_with_state results — same text, same conditioning prompts."""
+    from speaksense_tpu.asr import AsrParams
+
+    chunks = [(rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+              for _ in range(3)]
+    params = AsrParams(language="en", stream_mode=True)
+
+    def run_sequential():
+        engine.enable_slot_serving(n_slots=2, t_mel=512, max_new=12,
+                                   max_prompt=64)
+        try:
+            state = engine.create_state()
+            out = [engine.transcribe_with_state(state, c, params) for c in chunks]
+            return out, list(state.context_tokens)
+        finally:
+            engine.disable_slot_serving()
+
+    def run_pipelined_trickle():
+        engine.enable_slot_serving(n_slots=2, t_mel=512, max_new=12,
+                                   max_prompt=64)
+        try:
+            state = engine.create_state()
+            out = []
+            for c in chunks:
+                pending = engine.submit_stream_chunk(state, c, params)
+                assert pending is not None  # conditioned chunks now pipeline
+                out.append(pending.settle())  # settle before next submit
+            return out, list(state.context_tokens)
+        finally:
+            engine.disable_slot_serving()
+
+    seq, seq_ctx = run_sequential()
+    pipe, pipe_ctx = run_pipelined_trickle()
+    assert [r.full_text for r in seq] == [r.full_text for r in pipe]
+    assert seq_ctx == pipe_ctx
+
+
+def test_conditioned_pipelining_snapshots_context(engine, rng):
+    """Backlogged conditioned stream: chunk k+1 submitted before chunk k
+    settles must carry the context SNAPSHOT from submit time (one-chunk
+    lag), not mutate-under-read state."""
+    from speaksense_tpu.asr import AsrParams
+
+    engine.enable_slot_serving(n_slots=4, t_mel=512, max_new=12, max_prompt=64)
+    try:
+        server = engine._slot_server
+        seen_contexts = []
+        real_submit = server.submit_audio
+
+        def spy(audio, language="en", task="transcribe", context=None,
+                denoise=False):
+            seen_contexts.append(list(context) if context else None)
+            return real_submit(audio, language=language, task=task,
+                               context=context, denoise=denoise)
+
+        server.submit_audio = spy
+        state = engine.create_state()
+        state.context_tokens = [101, 102]
+        params = AsrParams(language="en", stream_mode=True)
+        a = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+        p1 = engine.submit_stream_chunk(state, a, params)
+        p2 = engine.submit_stream_chunk(state, a, params)  # before p1 settles
+        assert seen_contexts == [[101, 102], [101, 102]]  # snapshot, lagged
+        p1.settle()
+        p2.settle()
+        # post-settle submits see the updated context (>= the old snapshot)
+        p3 = engine.submit_stream_chunk(state, a, params)
+        assert seen_contexts[2] is None or len(seen_contexts[2]) >= 2
+        p3.settle()
+    finally:
+        engine.disable_slot_serving()
