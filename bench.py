@@ -129,19 +129,25 @@ def bench_serve(model_name: str, emit: bool = True):
     use_slots = os.environ.get("BENCH_SERVE_SLOTS", "1") not in ("", "0", "false")
     serve_k = int(os.environ.get("BENCH_SERVE_K", "16"))
     # BASELINE config 4 names beam=5: BENCH_SERVE_BEAM=5 serves every stream
-    # through beam search (window batcher — the slot pool is greedy-only).
+    # through the BEAM SLOT POOL (runtime/beam_slots.py — beam=K continuous
+    # batching; round 2's window-batcher beam measured 11-16x, below the 30x
+    # target, because coalesced windows can't join/leave at token
+    # granularity). BENCH_SERVE_SLOTS=0 restores the window-batcher beam.
     # Random-weight decodes of noise fail the quality thresholds ~always,
     # which would make every chunk pay the FULL temperature-fallback ladder
     # (beam + 4 best-of-5 retries — measured 0.7x, a pure artifact), so the
     # fallback is neutralized for the beam bench unless BENCH_SERVE_FALLBACK=1
     # (real speech rarely retries; that is the feature's design point).
     beam = int(os.environ.get("BENCH_SERVE_BEAM", "0"))
+    # beam-pool slot count: K beams multiply the self-KV pages, so the pool
+    # is smaller than the greedy 64 (S=32, K=5 large-v3 ≈ 4.5 GB pages;
+    # S=64 would not fit the step program's donated+output copies)
+    beam_slots = int(os.environ.get("BENCH_SERVE_BEAM_SLOTS", "32"))
     # int8 decoder-block weights on the serving path: the pool step is
     # HBM-read-bound and decoder weights are ~1.7 GB bf16 of its per-step
     # traffic; per-out-channel int8 halves that (drift bounds pinned in
     # tests/test_accuracy.py). Opt-in pending WER validation on real audio.
     int8_w = os.environ.get("BENCH_SERVE_INT8W", "0") not in ("", "0", "false")
-    use_slots = use_slots and beam <= 1
     fallback = os.environ.get("BENCH_SERVE_FALLBACK", "0") not in ("", "0")
     thresh = {} if (beam <= 1 or fallback) else dict(
         compression_ratio_thold=1e9, logprob_thold=-1e9, entropy_thold=-1.0)
@@ -165,8 +171,9 @@ def bench_serve(model_name: str, emit: bool = True):
     from speaksense_tpu.runtime.batcher import BatchedEngine
 
     if use_slots:
-        engine.enable_slot_serving(n_slots=n_streams, t_mel=512,
-                                   max_new=max_new, int8_kv=True)
+        engine.enable_slot_serving(
+            n_slots=beam_slots if beam > 1 else n_streams, t_mel=512,
+            max_new=max_new, int8_kv=True, beam_size=beam)
         engine._slot_server.steps_per_dispatch = serve_k
     # production shape (main.build_engine): the gRPC server always sees the
     # BatchedEngine wrapper, which forwards the slot-pool fast paths
@@ -283,6 +290,7 @@ def bench_serve(model_name: str, emit: bool = True):
             "paced_chunks": paced_chunks, "tokens": max_new,
             "denoise": denoise, "slots": use_slots, "k": serve_k,
             "beam": beam, "int8_w": int8_w,
+            "beam_slots": beam_slots if (beam > 1 and use_slots) else None,
             "admit_buckets": os.environ.get("SPEAKSENSE_ADMIT_BUCKETS", "1,8"),
             "max_inflight": os.environ.get("SPEAKSENSE_MAX_INFLIGHT", "8"),
         },

@@ -5,7 +5,10 @@ Replaces the mel frontend of whisper.cpp (the reference consumes it via
 the mel internally on CPU threads). Here the STFT is expressed as
 frame-gather + two matmuls (window ⊙ frames) @ [cos|sin] DFT basis so XLA maps
 it onto the MXU; the mel projection and log/clamp fuse behind it. A dedicated
-Pallas kernel (ops/mel_pallas.py) fuses the whole chain for production.
+XLA fuses the chain (framed matmul-STFT + filterbank matmul are MXU-native);
+a hand-written Pallas mel kernel was tried and removed — it never beat the
+fused XLA path at any production shape (PERF.md "Levers measured and
+rejected").
 
 Conventions (identical to openai/whisper & whisper.cpp):
   sample rate 16 kHz, n_fft 400, hop 160, periodic Hann window, reflect

@@ -290,49 +290,10 @@ def _attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array | None)
     return jnp.einsum("...hts,...hsd->...htd", weights, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _flash_block_sizes(t_padded: int) -> tuple[int, int, int]:
-    """Tuned flash blocks (block_q, block_k_major, block_k) for a 128-multiple
-    sequence length. The kernel's defaults (512/512) measured SLOWER than
-    XLA's fused attention at the encoder shape, but q=768 over the full
-    1536-key major axis beats it 45.8 -> 32.7 ms (B=32, H=20, T=1536,
-    Dh=64 — tools/microbench_encattn.py). Blocks must divide the padded
-    sequence; pick the largest tuned candidates that do."""
-    def _largest(cands, n):
-        return next((c for c in cands if n % c == 0), 128)
-
-    bq = _largest((768, 512, 256, 128), t_padded)
-    bkm = _largest((1536, 768, 512, 256, 128), t_padded)
-    return bq, bkm, min(bkm, 768)
-
-
-def _flash_attention_full(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Unmasked self-attention via the Pallas TPU flash kernel: (B, H, T, Dh),
-    O(T) memory instead of materializing (B, H, T, T) logits in HBM — the
-    encoder's T=1500 logits would be ~360 MB/window in f32. Sequence is
-    zero-padded to a 128-multiple; padded KEYS are masked via segment ids
-    (padded query rows are sliced away)."""
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, flash_attention, SegmentIds,
-    )
-
-    B, H, T, Dh = q.shape
-    Tp = ((T + 127) // 128) * 128
-    pad = Tp - T
-    if pad:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        ids = jnp.broadcast_to(
-            jnp.where(jnp.arange(Tp) < T, 1, 0)[None, :].astype(jnp.int32), (B, Tp))
-        seg = SegmentIds(q=ids, kv=ids)
-    else:
-        seg = None
-
-    bq, bkm, bk = _flash_block_sizes(Tp)
-    bs = BlockSizes(block_q=bq, block_k_major=bkm, block_k=bk, block_b=1)
-    out = flash_attention(q, k, v, segment_ids=seg, causal=False,
-                          sm_scale=q.shape[-1] ** -0.5, block_sizes=bs)
-    return out[:, :, :T, :]
+from speaksense_tpu.ops.flash import (  # noqa: E402  (kernel wrapper)
+    flash_attention_full as _flash_attention_full,
+    flash_block_sizes as _flash_block_sizes,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -618,12 +579,6 @@ def _cached_attention_q8t(q: jax.Array, kq: jax.Array, vq: jax.Array,
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _pallas_decode_enabled() -> bool:
-    import os
-
-    return os.environ.get("SPEAKSENSE_PALLAS_DECODE", "") not in ("", "0", "false")
-
-
 def _dec_block_factory(dims: WhisperDims, cross_quant: bool = False,
                        self_quant: bool = False, uniform_pos: bool = False,
                        defer_write: bool = False):
@@ -632,8 +587,6 @@ def _dec_block_factory(dims: WhisperDims, cross_quant: bool = False,
     def block(carry, xs):
         x, pos, mask = carry
         bp = xs["bp"]
-        single_step = x.shape[1] == 1
-        use_pallas = single_step and not self_quant and _pallas_decode_enabled()
         # self-attention with cache (time-minor KV)
         h = _ln(x, bp["attn_ln"])
         q, k_new, v_new = _qkv_proj(h, bp, n_head)
@@ -668,12 +621,7 @@ def _dec_block_factory(dims: WhisperDims, cross_quant: bool = False,
         else:
             sk = _write_kv(xs["sk"], k_new.astype(xs["sk"].dtype), pos, uniform_pos)
             sv = _write_kv(xs["sv"], v_new.astype(xs["sv"].dtype), pos, uniform_pos)
-            if use_pallas:
-                from speaksense_tpu.ops.decode_attention import decode_self_attention
-
-                attn = decode_self_attention(q[:, :, 0, :], sk, sv, pos + 1)[:, :, None, :]
-            else:
-                attn = _cached_attention(q, sk.astype(q.dtype), sv.astype(q.dtype), mask)
+            attn = _cached_attention(q, sk.astype(q.dtype), sv.astype(q.dtype), mask)
         if not defer_write:
             out.update(sk=sk, sv=sv)
         x = x + _linear(_merge_heads(attn), bp["o"])
@@ -682,10 +630,6 @@ def _dec_block_factory(dims: WhisperDims, cross_quant: bool = False,
         cq = _split_heads(_linear(h, bp["cq"]), n_head)
         if cross_quant:
             cattn = _cached_attention_q8(cq, xs["ck"], xs["cv"], xs["cks"], xs["cvs"], None)
-        elif use_pallas:
-            from speaksense_tpu.ops.decode_attention import decode_cross_attention
-
-            cattn = decode_cross_attention(cq[:, :, 0, :], xs["ck"], xs["cv"])[:, :, None, :]
         else:
             cattn = _cached_attention(cq, xs["ck"].astype(cq.dtype), xs["cv"].astype(cq.dtype), None)
         x = x + _linear(_merge_heads(cattn), bp["co"])
@@ -984,7 +928,8 @@ def _joint_decode_attention_ring(q, k_cache, v_cache, mask_cache,
 
 def decode_step_ring(params: Params, dims: WhisperDims, token: jax.Array,
                      cache: Params, ring: Params,
-                     mask_cache: jax.Array | None = None):
+                     mask_cache: jax.Array | None = None,
+                     mask_ring: jax.Array | None = None):
     """One autoregressive step with ring-buffered self-KV writes.
 
     cache is READ-ONLY here. By default it must be fill-layout
@@ -1012,7 +957,11 @@ def decode_step_ring(params: Params, dims: WhisperDims, token: jax.Array,
         prompt_len = pos - (fill + n)
         mask_cache = ((k_idx < prompt_len[:, None, None, None])
                       | ((k_idx >= base) & (k_idx < base + fill)))
-    mask_ring = w_idx < n
+    if mask_ring is None:
+        mask_ring = w_idx < n
+    # else: caller-supplied (broadcastable to (B, H, 1, W)) — the slot
+    # pool's MID-RING admissions mask a new occupant's pre-admission ring
+    # rows (they hold the previous occupant's writes from this chunk)
     n_head = dims.n_text_head
     cross_quant = "cross_k_scale" in cache
 
@@ -1086,7 +1035,9 @@ def decode_step(params: Params, dims: WhisperDims, token: jax.Array, cache: Para
     k_idx = jnp.arange(cache["self_k"].shape[-1])[None, None, None, :]
 
     uniform_fill = kv_write == "uniform" and "fill" in cache
-    defer = not _pallas_decode_enabled()
+    defer = True  # deferred self-KV writes (the only production path; the
+    #               eager in-layer write existed for the deleted Pallas
+    #               decode kernel and as the self_quant legacy path below)
     if defer and uniform_fill:
         # fill-layout cache (see arm_uniform_fill): prompt KV at
         # [0, prompt_len_b) (right-padded region masked), generated KV packed

@@ -83,6 +83,7 @@ class BeamSlotPool(SlotPool):
             ppad=jnp.ones((S + 1,), jnp.int32),
             anc=own,
             anc_ring=own[:, :, :Wd],
+            born=jnp.zeros((S + 1,), jnp.int32),
             tokens=jnp.full((S + 1, K, self.max_new), self.cfg.eot, jnp.int32),
             last_logits=jnp.zeros((R, dims.n_vocab), jnp.float32),
             scores=jnp.zeros((S + 1, K), jnp.float32),
@@ -111,7 +112,7 @@ class BeamSlotPool(SlotPool):
         dims, cfg = self.dims, self.cfg
         S, K = self.S, self.K
 
-        def admit(params, state, mel, slots, prompts, plen, valid):
+        def admit(params, state, mel, slots, prompts, plen, valid, ring_fill):
             if from_audio:
                 from speaksense_tpu.audio import mel as MEL
 
@@ -194,8 +195,12 @@ class BeamSlotPool(SlotPool):
             P_pad = jnp.int32(prompts.shape[1])
             filln = lambda v: jnp.full((n,), v, jnp.int32)
             new["cnt"] = state["cnt"].at[slots].set(filln(P_pad))
-            new["ppad"] = state["ppad"].at[slots].set(filln(P_pad))
+            # mid-ring admission (see SlotPool._build_admit): the previous
+            # occupant's pending ring rows flush over [gstep, gstep+ring_
+            # fill) — absorbed into the padding hole and masked in-ring
+            new["ppad"] = state["ppad"].at[slots].set(filln(P_pad) + ring_fill)
             new["plen"] = state["plen"].at[slots].set(plen)
+            new["born"] = state["born"].at[slots].set(filln(1) * ring_fill)
             active = state["active"].at[slots].set(valid)
             new["active"] = active.at[S].set(False)
             return new
@@ -334,7 +339,10 @@ class BeamSlotPool(SlotPool):
                          & (age[None, :] <= pad_hi[:, None])))   # (Sp1, T)
             oh_cache = ((anc[:, :, None, :] == own_k[None, None, :, None])
                         & valid[:, None, None, :]).astype(jnp.float32)
-            rvalid = (jnp.arange(Wd)[None, None, None, :] < n)  # (1,1,1,Wd)
+            w_idx = jnp.arange(Wd)
+            rvalid = ((w_idx[None, None, None, :] < n)
+                      & (w_idx[None, None, None, :]
+                         >= state["born"][:, None, None, None]))  # (Sp1,1,1,Wd)
             oh_ring = ((anc_ring[:, :, None, :] == own_k[None, None, :, None])
                        & rvalid).astype(jnp.float32)
 
@@ -412,6 +420,7 @@ class BeamSlotPool(SlotPool):
                         state["anc"], state["anc_ring"], (z, z, at)),
                     "gstep": state["gstep"] + Wd,
                     "cnt": state["cnt"] + Wd,
+                    "born": jnp.zeros_like(state["born"]),
                     "ring_n": jnp.zeros((), jnp.int32)}
 
         def step_k(params, suppress, state):

@@ -115,8 +115,8 @@ class SlotPool:
         # a slot's live span (prompt + generation) must fit the circular
         # page, else ages wrap and the oldest prompt KV silently drops out
         # of attention (ADVICE r1)
-        assert t_text >= self.max_prompt + max_new, \
-            (t_text, self.max_prompt, max_new)
+        assert t_text >= self.max_prompt + max_new + ring_width - 1, \
+            (t_text, self.max_prompt, max_new, ring_width)
         # S+1 rows: row S is a SCRATCH slot — batched admissions pad their
         # slot-index vector with S, so dummy rows scatter harmlessly into it
         # (its active flag is always forced False)
@@ -191,7 +191,12 @@ class SlotPool:
                 gstep=jnp.zeros((), jnp.int32),
                 cnt=jnp.zeros((S + 1,), jnp.int32),
                 plen=jnp.ones((S + 1,), jnp.int32),
-                ppad=jnp.ones((S + 1,), jnp.int32))
+                ppad=jnp.ones((S + 1,), jnp.int32),
+                # MID-RING admission support: ring row index at admission —
+                # the new occupant masks ring rows [0, born) (they hold the
+                # previous occupant's writes from this chunk); reset to 0 at
+                # every flush
+                born=jnp.zeros((S + 1,), jnp.int32))
         if self.mesh is not None:
             # sharded serving: pool pages live distributed from the start so
             # EVERY admit/step dispatch (and every reset-recovery rebuild)
@@ -248,9 +253,17 @@ class SlotPool:
         dims, cfg = self.dims, self.cfg
         S = self.S
 
-        def admit(params, state, mel, slots, prompts, plen, valid):
+        def admit(params, state, mel, slots, prompts, plen, valid, ring_fill):
             # mel (n, t_mel, n_mels) — or raw audio (n, t_mel*HOP) when
-            # from_audio; slots/plen/valid (n,); prompts (n, P)
+            # from_audio; slots/plen/valid (n,); prompts (n, P); ring_fill:
+            # the ring row cursor at admission (SUB-FLUSH admission, VERDICT
+            # r2 item 3 — a freed slot no longer waits for the chunk
+            # boundary). The prompt still lands just behind the flush cursor
+            # gstep; the ring rows [0, ring_fill) that will flush over
+            # columns [gstep, gstep+ring_fill) belong to the PREVIOUS
+            # occupant, so they are absorbed into the slot's padding hole
+            # (ppad += ring_fill) and masked from in-chunk ring attention
+            # via the born register.
             if from_audio:
                 from speaksense_tpu.audio import mel as MEL
 
@@ -328,8 +341,10 @@ class SlotPool:
                 new["cnt"] = state["cnt"].at[slots].set(
                     jnp.full((n,), P_pad, jnp.int32))
                 new["ppad"] = state["ppad"].at[slots].set(
-                    jnp.full((n,), P_pad, jnp.int32))
+                    jnp.full((n,), P_pad, jnp.int32) + ring_fill)
                 new["plen"] = state["plen"].at[slots].set(plen)
+                new["born"] = state["born"].at[slots].set(
+                    jnp.full((n,), 1, jnp.int32) * ring_fill)
             for k in _KV_KEYS:
                 if k in cache1:
                     new[k] = state[k].at[:, slots].set(cache1[k])
@@ -404,9 +419,12 @@ class SlotPool:
                              & (age[None, :] <= pad_hi[:, None])))
                 ring = {"k": state["ring_k"], "v": state["ring_v"],
                         "n": n}
+                w_idx = jnp.arange(self.ring_width)[None, None, None, :]
+                mask_ring = ((w_idx < n)
+                             & (w_idx >= state["born"][:, None, None, None]))
                 logits, cache, ring = W.decode_step_ring(
                     params, dims, tok, cache, ring,
-                    mask_cache=valid[:, None, None, :])
+                    mask_cache=valid[:, None, None, :], mask_ring=mask_ring)
                 cache.update(ring_k=ring["k"], ring_v=ring["v"], ring_n=ring["n"])
             else:
                 logits, cache = W.decode_step(params, dims, tok, cache)
@@ -473,6 +491,7 @@ class SlotPool:
                         state["self_v"], rv, (z, z, z, z, at)),
                     "gstep": state["gstep"] + W_ring,
                     "cnt": state["cnt"] + W_ring,
+                    "born": jnp.zeros_like(state["born"]),
                     "ring_n": jnp.zeros((), jnp.int32)}
 
         if k == 1:
@@ -526,11 +545,6 @@ class SlotPool:
     def admit_many(self, jobs: list[_StreamJob]) -> int:
         """Admit up to one bucket's worth of jobs in a single dispatch.
         Returns how many were admitted (0 if the pool is full)."""
-        if not self.self_int8 and self.ring_fill:
-            # circular pages: admission writes prompt columns just behind
-            # the cursor — pending ring rows would flush over them. The
-            # server drains the ring (keeps stepping) before admitting.
-            return 0
         take = min(len(jobs), len(self.free), max(self.ADMIT_BUCKETS))
         if take == 0:
             return 0
@@ -578,7 +592,8 @@ class SlotPool:
                     denoise=batch[0].denoise)
             self.state = fn(self.engine.params, self.state, jnp.asarray(mel),
                             jnp.asarray(slots), jnp.asarray(prompts),
-                            jnp.asarray(plen), jnp.asarray(valid))
+                            jnp.asarray(plen), jnp.asarray(valid),
+                            jnp.asarray(self.ring_fill, jnp.int32))
         except Exception as e:
             # roll the batch back (an admission failure — bad mel shape,
             # compile error — must not kill the server thread or strand
@@ -821,11 +836,7 @@ class StreamingDecodeServer:
                 if n == 0:
                     break
                 del pending[:n]
-            # also step (even with zero active slots) when admissions are
-            # blocked on a dirty ring — the chunk must complete and flush
-            # before new prompts can land behind the cursor
-            must_drain = bool(pending) and self.pool.ring_fill > 0
-            if self.pool.n_active or must_drain:
+            if self.pool.n_active:
                 try:
                     # retire on the poll cadence, when the pool is saturated
                     # and work is waiting, or when every slot may be done

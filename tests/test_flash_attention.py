@@ -25,7 +25,7 @@ import textwrap
 
 import pytest
 
-from speaksense_tpu.models.whisper import _flash_block_sizes
+from speaksense_tpu.ops.flash import flash_block_sizes as _flash_block_sizes
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -34,7 +34,8 @@ _CHILD = textwrap.dedent("""
     sys.path.insert(0, %r)
     import numpy as np, jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
-    from speaksense_tpu.models.whisper import _flash_attention_full, _attention
+    from speaksense_tpu.models.whisper import _attention
+    from speaksense_tpu.ops.flash import flash_attention_full as _flash_attention_full
 
     rng = np.random.default_rng(0)
     out = {}

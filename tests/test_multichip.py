@@ -207,3 +207,39 @@ def test_shard_before_slot_serving_enforced():
             engine.shard(make_mesh(8, tp=2))
     finally:
         engine.disable_slot_serving()
+
+
+def test_beam_slot_pool_sharded_tp2():
+    """Beam pool pages shard like the greedy pool's: slot-beam rows on dp,
+    heads on tp (R = (S+1)*K divides dp since S+1 does)."""
+    from speaksense_tpu.asr.engine import WhisperEngine
+    from speaksense_tpu.config import EngineConfig
+    from speaksense_tpu.models.tokenizer import Tokenizer
+    from speaksense_tpu.models.whisper import WhisperDims, init_params
+    from speaksense_tpu.parallel import make_mesh
+    from speaksense_tpu.runtime.beam_slots import BeamSlotPool
+    from speaksense_tpu.runtime.slots import _StreamJob
+
+    dims = WhisperDims(
+        n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+        n_text_head=4, n_text_layer=2)
+    engine = WhisperEngine(init_params(dims, jax.random.PRNGKey(0)), dims,
+                           Tokenizer.synthetic(dims.n_vocab),
+                           config=EngineConfig(compute_dtype="float32"))
+    mesh = make_mesh(8, tp=2)  # dp=4
+    engine.shard(mesh)
+    pool = BeamSlotPool(engine, n_slots=3, t_mel=512, max_new=16,
+                        beam_size=2, mesh=mesh)  # S+1=4 divides dp=4
+    jobs = [_StreamJob(mel=np.zeros((512, dims.n_mels), np.float32),
+                       prompt=list(engine.tokenizer.sot_sequence("en")))
+            for _ in range(2)]
+    assert pool.admit_many(jobs) == 2
+    for _ in range(2):
+        pool.step(retire=False, k=8)
+    done = pool.retire_finished()
+    # both jobs decode to completion (max_new=16 == one chunk) under SPMD
+    assert {j.slot for j in done} | set(pool.free) >= {0, 1}
+    for j in done:
+        r = j.future.result()
+        assert 0 <= r["n_sampled"] <= 16

@@ -504,3 +504,89 @@ def test_conditioned_pipelining_snapshots_context(engine, rng):
         p3.settle()
     finally:
         engine.disable_slot_serving()
+
+
+def test_mid_ring_admission_isolation(engine, rng):
+    """SUB-FLUSH admission (VERDICT r2 item 3): a job admitted while the KV
+    ring is partially filled (ring_fill>0) decodes EXACTLY as one admitted
+    at a chunk boundary, and does not perturb the already-running slot —
+    the previous occupant's pending ring rows are masked via the born
+    register and absorbed into the padding hole at flush."""
+    from speaksense_tpu.runtime.slots import SlotPool, _StreamJob
+
+    def job(mel):
+        return _StreamJob(mel=mel, prompt=list(engine.tokenizer.sot_sequence("en")))
+
+    mel_a = _mel(engine, rng, 0.1)
+    mel_b = _mel(engine, rng, 0.3)
+
+    def run_to_done(pool, jobs_list, max_dispatch=80):
+        results = {}
+        for _ in range(max_dispatch):
+            if not pool.jobs:
+                break
+            for j in pool.step(retire=True, k=4):
+                results[id(j)] = j.future.result()
+        return results
+
+    # reference: both jobs admitted at ring boundaries
+    ref = SlotPool(engine, n_slots=2, t_mel=512, max_new=12)
+    ja, jb = job(mel_a), job(mel_b)
+    assert ref.admit_many([ja]) == 1
+    assert ref.admit_many([jb]) == 1
+    run_to_done(ref, [ja, jb])
+    ra, rb = ja.future.result(), jb.future.result()
+
+    # mid-ring: admit A, advance 4 steps (ring dirty), admit B mid-chunk
+    pool = SlotPool(engine, n_slots=2, t_mel=512, max_new=12)
+    ja2, jb2 = job(mel_a), job(mel_b)
+    assert pool.admit_many([ja2]) == 1
+    pool.step(retire=False, k=4)
+    assert pool.ring_fill == 4
+    assert pool.admit_many([jb2]) == 1      # no refusal, no drain wait
+    assert int(np.asarray(pool.state["born"])[jb2.slot]) == 4
+    run_to_done(pool, [ja2, jb2])
+    ra2, rb2 = ja2.future.result(), jb2.future.result()
+
+    assert ra2["n_sampled"] == ra["n_sampled"]
+    np.testing.assert_array_equal(ra2["tokens"][:ra["n_sampled"]],
+                                  ra["tokens"][:ra["n_sampled"]])
+    assert rb2["n_sampled"] == rb["n_sampled"]
+    np.testing.assert_array_equal(rb2["tokens"][:rb["n_sampled"]],
+                                  rb["tokens"][:rb["n_sampled"]])
+
+
+def test_mid_ring_admission_beam(engine, rng):
+    """Same sub-flush admission guarantee for the beam pool."""
+    from speaksense_tpu.runtime.beam_slots import BeamSlotPool
+    from speaksense_tpu.runtime.slots import _StreamJob
+
+    mel_b = _mel(engine, rng, 0.3)
+
+    def job(mel):
+        return _StreamJob(mel=mel, prompt=list(engine.tokenizer.sot_sequence("en")))
+
+    def drain(pool):
+        out = []
+        for _ in range(80):
+            if not pool.jobs:
+                break
+            out += pool.step(retire=True, k=4)
+        return out
+
+    ref = BeamSlotPool(engine, n_slots=2, t_mel=512, max_new=12, beam_size=2)
+    jb = job(mel_b)
+    ref.admit_many([jb])
+    drain(ref)
+    rb = jb.future.result()
+
+    pool = BeamSlotPool(engine, n_slots=2, t_mel=512, max_new=12, beam_size=2)
+    ja2, jb2 = job(_mel(engine, rng, 0.1)), job(mel_b)
+    pool.admit_many([ja2])
+    pool.step(retire=False, k=4)
+    assert pool.admit_many([jb2]) == 1
+    drain(pool)
+    rb2 = jb2.future.result()
+    assert rb2["n_sampled"] == rb["n_sampled"]
+    np.testing.assert_array_equal(rb2["tokens"][:rb["n_sampled"]],
+                                  rb["tokens"][:rb["n_sampled"]])
