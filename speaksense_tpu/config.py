@@ -68,7 +68,11 @@ class EngineConfig:
     # numerics
     compute_dtype: str = "bfloat16"
     cross_kv_int8: bool = False     # int8 cross-attention KV (2x less decode HBM traffic)
-    weights_int8: bool = False      # int8 decoder block weights (per-out-channel scales)
+    weights_int8: bool = False      # int8 decoder block weights (per-out-channel
+    # scales; +4.7% ring decode). Opt-in until the executable promotion gate
+    # passes on real speech: tools/wer_check.py --compare-int8-weights, which
+    # promotes iff corpus WER regresses <= 0.1 pts and no file by > 1.0 pts
+    # (hermetic drift proxies: tests/test_accuracy.py)
     fuse_qkv: bool = True           # one (d,3d) q/k/v projection per block (pure re-layout)
     # convert-once weight cache directory
     weight_cache_dir: str = "./asr_data/weights_cache"
