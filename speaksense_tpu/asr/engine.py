@@ -804,7 +804,7 @@ class WhisperEngine(AsrEngine):
                                  n_tokens=int(raw["n_sampled"]))
 
     def submit_stream_chunk(self, state: EngineState | None, audio,
-                            params: AsrParams):
+                            params: AsrParams, pad_to_bucket: bool = False):
         """Nonblocking stream-chunk submission for SESSION-LEVEL PIPELINING.
 
         When chunks are independent (no previous-text conditioning reaches
@@ -829,8 +829,15 @@ class WhisperEngine(AsrEngine):
         if audio.dtype != np.int16:
             audio = audio.astype(np.float32, copy=False)
         n_frames = max(1, audio.size // MEL.HOP_LENGTH)
-        if self._mel_bucket(n_frames) != server.pool.t_mel:
-            return None
+        bucket = self._mel_bucket(n_frames)
+        if bucket != server.pool.t_mel:
+            # pad_to_bucket: a SHORT chunk (e.g. the end-of-stream tail
+            # flush) rides the pool zero-padded to its bucket — during a
+            # drain the marginal decode is nearly free, vs a separate
+            # window-batcher program dispatch. Oversized chunks still take
+            # the sequential path (padding cannot help them).
+            if not (pad_to_bucket and bucket < server.pool.t_mel):
+                return None
         context = None
         conditioned = False
         if (state is not None and params.condition_on_previous_text

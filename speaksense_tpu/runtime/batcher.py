@@ -220,10 +220,11 @@ class BatchedEngine(AsrEngine):
     def device_denoise(self) -> bool:
         return bool(getattr(self.engine, "device_denoise", False))
 
-    def submit_stream_chunk(self, state, audio, params: AsrParams):
+    def submit_stream_chunk(self, state, audio, params: AsrParams,
+                            pad_to_bucket: bool = False):
         submit = getattr(self.engine, "submit_stream_chunk", None)
         if submit is None:
             return None
         # None (off-bucket / conditioning / no pool) -> the caller takes the
         # sequential path through transcribe_with_state, i.e. the batcher
-        return submit(state, audio, params)
+        return submit(state, audio, params, pad_to_bucket=pad_to_bucket)

@@ -395,13 +395,51 @@ class StreamSession:
         return events
 
     def finish(self) -> list[StreamEvent]:
-        """Flush remaining audio with a fresh state and emit the end:1 event."""
+        """Flush remaining audio with a fresh state and emit the end:1 event.
+
+        The tail flush PREFERS the slot pool (submit_stream_chunk with
+        pad_to_bucket: the sub-chunk tail rides an admission row zero-padded
+        to the pool bucket) — when many streams end together (and during the
+        pool's drain) the flushes continuous-batch with live chunks instead
+        of each paying a separate window-batcher dispatch. state=None keeps
+        the reference's fresh-state flush semantics (no conditioning).
+        Engines without a pool (or pre-kwarg fakes) take the original
+        sequential transcribe path."""
         events: list[StreamEvent] = []
         if self.buffer:
-            audio = pcm16le_to_f32(bytes(self.buffer))
+            tail = bytes(self.buffer)
             self.buffer = bytearray()
+            n = len(tail) // 2 * 2
+            pcm = np.frombuffer(tail[:n], "<i2")
+            audio = pcm_i16_to_f32(pcm)
+            pending = None
+            submit = getattr(self.engine, "submit_stream_chunk", None)
+            if submit is not None and pcm.size:
+                flush_audio: np.ndarray = pcm
+                params = self.params
+                if self.denoise:
+                    if getattr(self.engine, "device_denoise", False):
+                        import dataclasses
+
+                        params = dataclasses.replace(self.params, denoise=True)
+                    else:
+                        from speaksense_tpu.audio.dsp import (
+                            DenoiseConfig, denoise_audio,
+                        )
+
+                        flush_audio = denoise_audio(
+                            audio, DenoiseConfig(post_gain=1.0))
+                try:
+                    pending = submit(None, flush_audio, params,
+                                     pad_to_bucket=True)
+                except TypeError:  # engine predates the pad_to_bucket kwarg
+                    pending = None
+                except Exception as e:
+                    log.error("pooled final flush submit failed: %s", e)
+                    pending = None
             try:
-                result = self.engine.transcribe(audio, self.params)
+                result = (pending.settle() if pending is not None
+                          else self.engine.transcribe(audio, self.params))
             except Exception as e:
                 log.error("final ASR flush failed: %s", e)
                 return events

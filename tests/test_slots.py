@@ -590,3 +590,68 @@ def test_mid_ring_admission_beam(engine, rng):
     assert rb2["n_sampled"] == rb["n_sampled"]
     np.testing.assert_array_equal(rb2["tokens"][:rb["n_sampled"]],
                                   rb["tokens"][:rb["n_sampled"]])
+
+
+def test_finish_flush_rides_the_slot_pool(engine, rng):
+    """StreamSession.finish(): the end-of-stream tail flush prefers the slot
+    pool (fresh-state semantics via state=None) over a separate window-
+    batcher dispatch — when 64 streams end together the flushes continuous-
+    batch with live chunks instead of paying 64/max_batch extra program
+    dispatches during the pool drain."""
+    import base64
+
+    from speaksense_tpu.serving.stream import StreamSession
+
+    engine.enable_slot_serving(n_slots=2, t_mel=512, max_new=8)
+    try:
+        pool = engine._slot_server.pool
+        session = StreamSession(engine, language="en", denoise=False)
+        # 5.5 s: ingest consumes one 5 s chunk (keeps the 0.5 s overlap),
+        # leaving a 1 s sub-chunk tail for finish()
+        pcm = (rng.standard_normal(16000 * 5 + 8000) * 1500).astype(np.int16)
+        session.feed(base64.standard_b64encode(pcm.tobytes()))
+        admits_before = pool.admit_calls
+
+        def _no_batcher(*a, **k):
+            raise AssertionError("finish used the window batcher")
+
+        orig = engine.transcribe
+        engine.transcribe = _no_batcher
+        try:
+            events = session.finish()
+        finally:
+            engine.transcribe = orig
+        # success path: the tail decoded through the pool and the end:1
+        # event was emitted (the window-batcher exception path returns [])
+        assert events and events[-1].end == 1
+        assert pool.admit_calls > admits_before
+    finally:
+        engine.disable_slot_serving()
+
+
+def test_submit_stream_chunk_pad_to_bucket(engine, rng):
+    """pad_to_bucket admits a sub-bucket chunk zero-padded to the pool's mel
+    bucket (used by finish()); without the flag, off-bucket chunks still
+    decline, and oversized chunks decline either way."""
+    from speaksense_tpu.asr import AsrParams
+
+    stream = AsrParams(language="en", stream_mode=True)
+    engine.enable_slot_serving(n_slots=2, t_mel=1024, max_new=8)
+    try:
+        short = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+        # 3 s buckets to 512 != pool 1024: declined without the flag...
+        assert engine.submit_stream_chunk(
+            engine.create_state(), short, stream) is None
+        # ...accepted padded with it
+        pending = engine.submit_stream_chunk(
+            engine.create_state(), short, stream, pad_to_bucket=True)
+        assert pending is not None
+        res = pending.settle()
+        assert res.language == "en"
+        # oversized (> pool bucket) declines even with the flag
+        long_audio = (rng.standard_normal(16000 * 12) * 0.1).astype(np.float32)
+        assert engine.submit_stream_chunk(
+            engine.create_state(), long_audio, stream,
+            pad_to_bucket=True) is None
+    finally:
+        engine.disable_slot_serving()
