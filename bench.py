@@ -261,8 +261,10 @@ def bench_serve(model_name: str, emit: bool = True):
     def snap():
         if not use_slots:
             return None
-        p = engine._slot_server.pool
-        return (p.admit_calls, p.admit_rows, p.step_calls, p.occupancy_sum)
+        srv = engine._slot_server
+        p = srv.pool
+        return (p.admit_calls, p.admit_rows, p.step_calls, p.occupancy_sum,
+                srv.fast_retires)
 
     async def main_async():
         s0 = snap()
@@ -284,6 +286,7 @@ def bench_serve(model_name: str, emit: bool = True):
             "avg_occupancy": round(d_occ / max(1, d_steps), 1),
             "step_calls": d_steps,
             "admit_calls": d_admits,
+            "fast_retires": s1[4] - s0[4],
         }
     serving_engine.stop()
     if use_slots:

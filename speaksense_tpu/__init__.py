@@ -7,7 +7,8 @@ whisper.cpp gRPC/REST server) designed TPU-first:
   /root/reference/src/asr/whisper.rs) is a JAX/XLA/Pallas Whisper
   implementation with batched encode + continuous-batched decode;
 - the audio DSP pipeline (reference: /root/reference/src/audio/mod.rs) is a
-  numpy/jnp pipeline with a fused Pallas log-mel kernel;
+  numpy/jnp pipeline with the log-mel transform fused into the on-device
+  admission program (XLA framed-matmul STFT);
 - the serving stack (gRPC bidi streaming on :7300, REST on :7200, SQLite task
   queue, API-key auth, etcd registry) preserves the reference's external
   contracts bit-for-bit so existing clients keep working.

@@ -63,6 +63,12 @@ class _StreamJob:
     #                                  retire_from: a meta snapshot older
     #                                  than the admission must not retire
     #                                  this slot's NEW occupant)
+    admit_tstep: int = 0             # pool.total_steps when admitted: after
+    #                                  max_new further pool steps this job is
+    #                                  PROVABLY finished (hit_cap fires on
+    #                                  step max_new post-admit), which lets
+    #                                  the server retire a fully-capped pool
+    #                                  without dispatching frozen rows
 
 
 class SlotPool:
@@ -137,6 +143,10 @@ class SlotPool:
         self.admit_rows = 0
         self.step_calls = 0
         self.occupancy_sum = 0
+        # cumulative decode STEPS (not dispatches; k varies with ring
+        # clipping) — with _StreamJob.admit_tstep this makes budget
+        # exhaustion host-provable (all_jobs_at_budget)
+        self.total_steps = 0
         self._admit_fns: dict[tuple, object] = {}
         self._step_fns: dict[tuple[int, bool], object] = {}
 
@@ -578,6 +588,7 @@ class SlotPool:
                 slot = self.free.pop()
                 job.slot = slot
                 job.admit_step = self.step_calls
+                job.admit_tstep = self.total_steps
                 slots[i], valid[i], plen[i] = slot, True, len(job.prompt)
                 prompts[i, : len(job.prompt)] = job.prompt
                 mel[i] = job.mel
@@ -639,6 +650,7 @@ class SlotPool:
             fn = self._step_fns[(k, do_flush)] = self._build_step(k, do_flush)
         self.state, meta = fn(self.engine.params, self.suppress, self.state)
         self.step_calls += 1
+        self.total_steps += k
         self._last_meta = (meta, self.step_calls)
         self.occupancy_sum += len(self.jobs)
         if ring_mode:
@@ -711,6 +723,23 @@ class SlotPool:
     def n_active(self) -> int:
         return len(self.jobs)
 
+    def all_jobs_at_budget(self) -> bool:
+        """True iff EVERY current occupant has provably exhausted its token
+        budget: hit_cap fires on post-admit step max_new (n_sampled+1 >=
+        max_new with n_sampled = steps survived), so after total_steps has
+        advanced max_new past a job's admit_tstep its device `active` flag
+        is certainly False and the newest packed meta retires it. The server
+        loop uses this to retire a fully-capped pool IMMEDIATELY instead of
+        paying another dispatch that decodes only frozen rows (at 96-token
+        chunks and k=16 that wasted dispatch was ~1/7 of pool throughput).
+        Jobs that EOT before the cap just miss the fast path (conservative:
+        the normal lagged retirement handles them)."""
+        if not self.jobs:
+            return False
+        t = self.total_steps
+        return all(t - j.admit_tstep >= self.max_new
+                   for j in self.jobs.values())
+
 
 class StreamingDecodeServer:
     """Background thread driving a SlotPool: submit windows, get futures."""
@@ -746,6 +775,9 @@ class StreamingDecodeServer:
         self._thread = threading.Thread(target=self._loop, name="slot-server", daemon=True)
         self._thread.start()
         self.steps_run = 0
+        # telemetry: budget-exhaustion fast-path retirements (dispatches of
+        # frozen rows avoided — see all_jobs_at_budget)
+        self.fast_retires = 0
         # lagged-retirement snapshot: (packed meta handle, dispatch no) of a
         # dispatch whose retirement fetch is deferred so it overlaps the
         # NEXT dispatch's device execution (the fetch is ~one relay RTT,
@@ -838,6 +870,20 @@ class StreamingDecodeServer:
                 del pending[:n]
             if self.pool.n_active:
                 try:
+                    if self.pool.all_jobs_at_budget():
+                        # BUDGET-EXHAUSTION FAST PATH: every occupant is
+                        # provably capped, so its state in the newest meta
+                        # is final — retire from it NOW and loop back to
+                        # admit, instead of dispatching k steps of frozen
+                        # rows just to carry the lag pipeline forward
+                        if self._lag_meta is not None:
+                            self.pool.retire_from(*self._lag_meta)
+                            self._lag_meta = None
+                        if self.pool.n_active:
+                            self.pool.retire_from(*self.pool._last_meta)
+                        if not self.pool.n_active:
+                            self.fast_retires += 1
+                            continue
                     # retire on the poll cadence, when the pool is saturated
                     # and work is waiting, or when every slot may be done
                     retire = ((self.steps_run % self.poll_interval == 0)
@@ -845,7 +891,17 @@ class StreamingDecodeServer:
                     lagged = self._lag_meta
                     self.pool.step(retire=False, k=self.steps_per_dispatch)
                     self.steps_run += 1
-                    if retire:
+                    if self.pool.all_jobs_at_budget():
+                        # the dispatch just enqueued capped every occupant:
+                        # retire synchronously (one fetch RTT) so the refill
+                        # admits before the next dispatch — lagging here
+                        # would decode a whole dispatch of frozen rows
+                        if lagged is not None:
+                            self.pool.retire_from(*lagged)
+                        self.pool.retire_from(*self.pool._last_meta)
+                        self._lag_meta = None
+                        self.fast_retires += 1
+                    elif retire:
                         if lagged is not None:
                             # LAGGED retirement: fetch the previous
                             # dispatch's packed meta while the dispatch just

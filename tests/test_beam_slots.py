@@ -141,3 +141,31 @@ def test_stream_chunks_via_beam_pool(rng):
         pending.settle()
     finally:
         eng.disable_slot_serving()
+
+
+def test_beam_pool_all_jobs_at_budget(engine, rng):
+    """The budget-exhaustion fast path (SlotPool.all_jobs_at_budget) holds
+    for the BEAM pool too: hit_cap is local_step+1 >= max_new, so after
+    max_new post-admit pool steps every beam of every occupant is provably
+    frozen and the newest packed meta retires the slot — the server loop's
+    frozen-dispatch-avoidance applies unchanged to beam serving."""
+    from speaksense_tpu.runtime.beam_slots import BeamSlotPool
+    from speaksense_tpu.runtime.slots import _StreamJob
+
+    pool = BeamSlotPool(engine, n_slots=2, t_mel=512, max_new=8,
+                        beam_size=3, ring_width=4)
+    tok = engine.tokenizer
+    j1 = _StreamJob(mel=_mel(engine, rng, 0.1),
+                    prompt=list(tok.sot_sequence("en")))
+    j2 = _StreamJob(mel=_mel(engine, rng, 0.3),
+                    prompt=list(tok.sot_sequence("en")))
+    assert pool.admit_many([j1, j2]) == 2
+    pool.step(retire=False, k=4)
+    assert pool.total_steps == 4 and not pool.all_jobs_at_budget()
+    pool.step(retire=False, k=4)
+    assert pool.all_jobs_at_budget()
+    done = pool.retire_from(*pool._last_meta)
+    assert sorted(id(j) for j in done) == sorted(id(j) for j in (j1, j2))
+    assert pool.n_active == 0
+    for j in (j1, j2):
+        assert j.future.result()["n_sampled"] <= 8

@@ -655,3 +655,39 @@ def test_submit_stream_chunk_pad_to_bucket(engine, rng):
             pad_to_bucket=True) is None
     finally:
         engine.disable_slot_serving()
+
+
+def test_all_jobs_at_budget_and_fast_retire(engine, rng):
+    """Budget-exhaustion accounting: all_jobs_at_budget() flips exactly when
+    total_steps has advanced max_new past every occupant's admit_tstep, and
+    the newest meta then retires the whole pool — the server loop's fast
+    path that avoids dispatching a pool of frozen rows."""
+    from speaksense_tpu.runtime.slots import SlotPool, _StreamJob
+
+    pool = SlotPool(engine, n_slots=2, t_mel=512, max_new=8, ring_width=4)
+    tok = engine.tokenizer
+    assert not pool.all_jobs_at_budget()  # empty pool: no fast path
+
+    j1 = _StreamJob(mel=_mel(engine, rng, 0.1),
+                    prompt=list(tok.sot_sequence("en")))
+    assert pool.admit_many([j1]) == 1
+    pool.step(retire=False, k=4)
+    assert pool.total_steps == 4 and not pool.all_jobs_at_budget()
+
+    # mid-flight admission: j2 joins 4 steps behind j1
+    j2 = _StreamJob(mel=_mel(engine, rng, 0.3),
+                    prompt=list(tok.sot_sequence("en")))
+    assert pool.admit_many([j2]) == 1
+    assert j2.admit_tstep == 4
+    pool.step(retire=False, k=4)
+    # j1 at its 8-token cap, j2 only 4 steps in: NOT all at budget
+    assert pool.total_steps == 8 and not pool.all_jobs_at_budget()
+    pool.step(retire=False, k=4)
+    assert pool.all_jobs_at_budget()
+    # the newest meta is final for BOTH: one retire empties the pool
+    done = pool.retire_from(*pool._last_meta)
+    assert sorted(id(j) for j in done) == sorted(id(j) for j in (j1, j2))
+    assert pool.n_active == 0
+    assert j1.future.result()["n_sampled"] <= 8
+    assert j2.future.result()["n_sampled"] <= 8
+    assert not pool.all_jobs_at_budget()  # empty again
