@@ -42,6 +42,18 @@ def _env(name: str, dotenv: dict[str, str], default: str) -> str:
     return os.environ.get(name) or dotenv.get(name) or default
 
 
+def _parse_grpc_auth(value: str) -> str:
+    """Fail CLOSED on typos: an operator setting SPEAKSENSE_GRPC_AUTH=on /
+    require / true means to enforce auth — silently treating an
+    unrecognized value as "off" would run the stream endpoint
+    unauthenticated against their intent."""
+    v = value.strip().lower()
+    if v in ("off", "optional", "required"):
+        return v
+    raise ValueError(
+        f"SPEAKSENSE_GRPC_AUTH={value!r}: must be off | optional | required")
+
+
 @dataclass
 class EngineConfig:
     """Inference-engine knobs (reference hardcodes these in
@@ -123,7 +135,7 @@ class Config:
             http_port=int(_env("ASR_HTTP_PORT", dotenv, "7200")),
             grpc_port=int(_env("ASR_GRPC_PORT", dotenv, "7300")),
             task_workers=int(_env("SPEAKSENSE_TASK_WORKERS", dotenv, "4")),
-            grpc_auth=_env("SPEAKSENSE_GRPC_AUTH", dotenv, "off"),
+            grpc_auth=_parse_grpc_auth(_env("SPEAKSENSE_GRPC_AUTH", dotenv, "off")),
             tp=int(_env("SPEAKSENSE_TP", dotenv, "1")),
             dp=int(_env("SPEAKSENSE_DP", dotenv, "0")),
         )

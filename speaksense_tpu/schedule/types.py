@@ -365,6 +365,19 @@ class Task:
             "error": self.error,
         }
 
+    def to_public_json(self) -> dict:
+        """to_json with the creator's bearer key REDACTED — the form every
+        REST handler must return. config.api_key exists only for usage
+        attribution on completion (TaskManager.usage_hook); serving it from
+        GET /schedule/tasks/{id} (an unauthenticated route, reference
+        parity) would hand the creator's full key to anyone who learns a
+        task id. At-rest plaintext in the tasks table matches the
+        reference's own api_keys table (raw keys, same DB file)."""
+        d = self.to_json()
+        if d["config"].get("api_key"):
+            d["config"] = dict(d["config"], api_key="[redacted]")
+        return d
+
     @classmethod
     def from_json(cls, d: dict) -> "Task":
         return cls(

@@ -175,12 +175,19 @@ async def get_key_usage(request: web.Request) -> web.Response:
 async def create_task(request: web.Request) -> web.Response:
     ctx: AppContext = request.app[CTX_KEY]
     try:
-        config = TaskConfig.from_json(await request.json())
+        body = await request.json()
+        # api_key is SERVER-assigned attribution (set by authenticated
+        # /asr/transcribe): this route is unauthenticated (reference
+        # parity), so a client-supplied value would forge usage counters
+        # onto someone else's key — drop it
+        if isinstance(body, dict):
+            body.pop("api_key", None)
+        config = TaskConfig.from_json(body)
         task = await asyncio.to_thread(ctx.task_manager.create_task, config)
     except Exception as e:
         log.error("failed to create task: %s", e)
         return _api_err(str(e), status=400)
-    return _api_ok(task.to_json(), status=201)
+    return _api_ok(task.to_public_json(), status=201)
 
 
 async def get_task(request: web.Request) -> web.Response:
@@ -188,7 +195,7 @@ async def get_task(request: web.Request) -> web.Response:
     task = await asyncio.to_thread(ctx.task_manager.get_task, request.match_info["task_id"])
     if task is None:
         return _api_err("Task not found", status=404)
-    return _api_ok(task.to_json())
+    return _api_ok(task.to_public_json())
 
 
 async def get_task_status(request: web.Request) -> web.Response:

@@ -317,6 +317,28 @@ class StreamSession:
             self.buffer = self.buffer[self.chunk_bytes - self.overlap_bytes :]
         return pendings
 
+    def _prep_audio(self, pcm: np.ndarray):
+        """Shared denoise/params dispatch for chunk and tail-flush
+        submission. device_denoise engines take the raw s16 PCM plus
+        AsrParams.denoise=True (the DSP chain runs on device inside the
+        slot-admission program — host denoise measured ~1/3 of serving
+        throughput at 64 streams, PERF.md); otherwise the host numpy chain
+        runs here. Returns (submit_audio, params, host_f32) where host_f32
+        is the host-denoised f32 audio (None when the wire stays s16)."""
+        params = self.params
+        host_f32: np.ndarray | None = None
+        if self.denoise:
+            if getattr(self.engine, "device_denoise", False):
+                import dataclasses
+
+                params = dataclasses.replace(self.params, denoise=True)
+            else:
+                from speaksense_tpu.audio.dsp import DenoiseConfig, denoise_audio
+
+                host_f32 = denoise_audio(pcm_i16_to_f32(pcm),
+                                         DenoiseConfig(post_gain=1.0))
+        return (pcm if host_f32 is None else host_f32), params, host_f32
+
     def _submit_chunk(self, chunk: bytes):
         """Submit one chunk's decode; returns a pending handle for settle().
         Falls back to a blocking inline decode when the engine has no
@@ -328,26 +350,11 @@ class StreamSession:
         # host-side DSP or the sequential engine call.
         n = len(chunk) // 2 * 2
         pcm = np.frombuffer(chunk[:n], "<i2")
-        audio: np.ndarray | None = None
-        params = self.params
-        if self.denoise:
-            if getattr(self.engine, "device_denoise", False):
-                # slot-serving engines run the denoise chain ON DEVICE inside
-                # the admission program (host denoise measured ~1/3 of
-                # serving throughput at 64 streams — PERF.md)
-                import dataclasses
-
-                params = dataclasses.replace(self.params, denoise=True)
-            else:
-                from speaksense_tpu.audio.dsp import DenoiseConfig, denoise_audio
-
-                audio = denoise_audio(pcm_i16_to_f32(pcm),
-                                      DenoiseConfig(post_gain=1.0))
+        submit_audio, params, audio = self._prep_audio(pcm)
         submit = getattr(self.engine, "submit_stream_chunk", None)
         if submit is not None:
             try:
-                pending = submit(self.state, pcm if audio is None else audio,
-                                 params)
+                pending = submit(self.state, submit_audio, params)
             except Exception as e:
                 log.error("ASR submission failed: %s", e)
                 return None
@@ -380,7 +387,13 @@ class StreamSession:
         events: list[StreamEvent] = []
         if result is not None:
             self.usage_tokens += result.n_tokens
-            self.usage_audio_seconds += self.chunk_bytes / (2.0 * SAMPLE_RATE)
+            # meter the stream audio CONSUMED per chunk (the buffer advances
+            # chunk_bytes - overlap_bytes); billing the full chunk would
+            # count the overlap region twice (~10% at 5 s/0.5 s). The tail
+            # flush bills the whole remaining buffer — which still holds the
+            # final overlap — so a stream's total equals the audio it sent.
+            self.usage_audio_seconds += (
+                (self.chunk_bytes - self.overlap_bytes) / (2.0 * SAMPLE_RATE))
             for segment in result.segments:
                 new_text = process_text(segment.text, self.ctx.last_text, [segment])
                 if new_text is None:
@@ -415,20 +428,7 @@ class StreamSession:
             pending = None
             submit = getattr(self.engine, "submit_stream_chunk", None)
             if submit is not None and pcm.size:
-                flush_audio: np.ndarray = pcm
-                params = self.params
-                if self.denoise:
-                    if getattr(self.engine, "device_denoise", False):
-                        import dataclasses
-
-                        params = dataclasses.replace(self.params, denoise=True)
-                    else:
-                        from speaksense_tpu.audio.dsp import (
-                            DenoiseConfig, denoise_audio,
-                        )
-
-                        flush_audio = denoise_audio(
-                            audio, DenoiseConfig(post_gain=1.0))
+                flush_audio, params, _ = self._prep_audio(pcm)
                 try:
                     pending = submit(None, flush_audio, params,
                                      pad_to_bucket=True)
@@ -438,6 +438,9 @@ class StreamSession:
                     log.error("pooled final flush submit failed: %s", e)
                     pending = None
             try:
+                # sequential fallback: raw audio + base params — the
+                # reference's final flush transcribes the buffer WITHOUT
+                # denoise (handlers/asr.rs:235-247), unlike regular chunks
                 result = (pending.settle() if pending is not None
                           else self.engine.transcribe(audio, self.params))
             except Exception as e:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import abc
 import datetime as _dt
+import threading as _threading
 from typing import TYPE_CHECKING, Optional
 
 if TYPE_CHECKING:  # avoid a schedule<->storage import cycle at runtime
@@ -84,6 +85,14 @@ class KeyStorage(abc.ABC):
 
 
 class ApiKeyStatsStorage(abc.ABC):
+    # serializes the default read-modify-write helpers below: without it,
+    # two threads (gRPC stream end + REST verify) interleave get_stats ->
+    # mutate -> update_stats and one increment is silently lost. Class-level
+    # (shared across instances) is deliberate: these defaults are the
+    # non-hot fallback — the SQL backend overrides both with single-UPDATE
+    # increments that rely on its own connection lock instead.
+    _rmw_lock = _threading.Lock()
+
     @abc.abstractmethod
     def get_stats(self, api_key: str): ...
 
@@ -98,9 +107,10 @@ class ApiKeyStatsStorage(abc.ABC):
         rewrite the whole 30-day history per request."""
         from speaksense_tpu.auth.types import ApiKeyStats
 
-        stats = self.get_stats(api_key) or ApiKeyStats()
-        stats.update()
-        self.update_stats(api_key, stats)
+        with self._rmw_lock:
+            stats = self.get_stats(api_key) or ApiKeyStats()
+            stats.update()
+            self.update_stats(api_key, stats)
 
     def add_usage(self, api_key: str, tokens: int = 0,
                   audio_seconds: float = 0.0) -> None:
@@ -110,7 +120,8 @@ class ApiKeyStatsStorage(abc.ABC):
         with a single increment UPDATE."""
         from speaksense_tpu.auth.types import ApiKeyStats
 
-        stats = self.get_stats(api_key) or ApiKeyStats()
-        stats.total_tokens += int(tokens)
-        stats.total_audio_seconds += float(audio_seconds)
-        self.update_stats(api_key, stats)
+        with self._rmw_lock:
+            stats = self.get_stats(api_key) or ApiKeyStats()
+            stats.total_tokens += int(tokens)
+            stats.total_audio_seconds += float(audio_seconds)
+            self.update_stats(api_key, stats)

@@ -443,11 +443,14 @@ class SqliteKeyStorage(_SqliteBase, KeyStorage, ApiKeyStatsStorage):
                 "INSERT INTO api_key_stats (key, requests_today, requests_this_hour, "
                 "requests_this_minute, last_request_at, total_requests, total_tokens, "
                 "total_audio_seconds, updated_at) VALUES (?,?,0,0,?,?,?,?,?) "
+                # total_tokens/total_audio_seconds are ADDITIVE-ONLY here:
+                # they advance via add_usage's increment UPDATE, and a
+                # snapshot write-back would clobber increments accumulated
+                # since the caller's get_stats (concurrent streams ending
+                # while a bump_stats-style RMW is in flight)
                 "ON CONFLICT(key) DO UPDATE SET requests_today=excluded.requests_today, "
                 "last_request_at=excluded.last_request_at, "
                 "total_requests=excluded.total_requests, "
-                "total_tokens=excluded.total_tokens, "
-                "total_audio_seconds=excluded.total_audio_seconds, "
                 "updated_at=excluded.updated_at",
                 (api_key, stats.requests_today, _dt_to_db(stats.last_used_at),
                  stats.total_requests, int(stats.total_tokens),

@@ -139,3 +139,19 @@ def test_bump_stats_fast_path_matches_read_modify_write(tmp_path):
     s = st.get_stats("key-y")
     assert s.requests_per_day == {today: 1}  # old row pruned
     st.close()
+
+
+def test_grpc_auth_env_fails_closed():
+    """SPEAKSENSE_GRPC_AUTH must reject unrecognized values instead of
+    silently running unauthenticated: an operator typing 'require' / 'on'
+    meant to ENFORCE auth."""
+    import pytest
+
+    from speaksense_tpu.config import _parse_grpc_auth
+
+    assert _parse_grpc_auth("off") == "off"
+    assert _parse_grpc_auth(" Optional ") == "optional"
+    assert _parse_grpc_auth("REQUIRED") == "required"
+    for bad in ("require", "on", "true", "1", "yes"):
+        with pytest.raises(ValueError):
+            _parse_grpc_auth(bad)

@@ -292,7 +292,9 @@ def test_grpc_authenticated_stream_meters_usage(tmp_path):
     stats = auth.get_key_stats(admin_key)
     assert stats.total_requests == 1          # verify bumps once per stream
     assert stats.total_tokens > 0             # settled chunks metered
-    assert stats.total_audio_seconds > 4.0    # >= one 5 s chunk + tail
+    # exact: 6 s + 1 s sent = one chunk (5 - 0.5 s overlap consumed) + the
+    # 2.5 s tail flush — overlap regions are billed once, not per chunk
+    assert stats.total_audio_seconds == pytest.approx(7.0, abs=0.05)
     ks.close()
 
 

@@ -292,3 +292,55 @@ def test_usage_accounting_end_to_end(stack):
         assert stats2["total_audio_seconds"] > stats["total_audio_seconds"]
 
     asyncio.run(_with_server(stack[0], flow))
+
+
+def test_task_responses_redact_api_key(stack):
+    """The creator's bearer key must NEVER leave the server through the
+    unauthenticated task routes: /asr/transcribe stores it on the task
+    config for completion-time usage attribution, but GET
+    /schedule/tasks/{id} (and the create response) serve a redacted form —
+    anyone who learns a task id must not gain the creator's key."""
+    ctx, _, admin_key, wav = stack
+    hdr = {"Authorization": f"Bearer {admin_key}"}
+
+    async def flow(client):
+        resp = await client.post(
+            "/asr/transcribe", headers=hdr,
+            json={"path": str(wav), "path_type": "Local",
+                  "callback_url": "http://127.0.0.1:1/nowhere"})
+        task_id = (await resp.json())["body"]
+        resp = await client.get(f"/schedule/tasks/{task_id}")
+        body = await resp.json()
+        assert admin_key not in json.dumps(body)
+        assert body["data"]["config"]["api_key"] == "[redacted]"
+        # the key IS persisted for the usage hook (at-rest plaintext
+        # matches the reference's own api_keys table, same DB file)
+        task = ctx.task_manager.get_task(task_id)
+        assert task.config.api_key == admin_key
+
+    asyncio.run(_with_server(ctx, flow))
+
+
+def test_schedule_create_ignores_client_api_key(stack):
+    """POST /schedule/tasks is unauthenticated (reference parity), so a
+    client-supplied api_key would forge usage attribution onto someone
+    else's key — the server must drop it."""
+    ctx, _, admin_key, wav = stack
+
+    async def flow(client):
+        resp = await client.post(
+            "/schedule/tasks",
+            json={"task_type": "Transcribe", "input_path": str(wav),
+                  "path_type": "Local",
+                  "callback_type": {"type": "None"},
+                  "params": {"type": "Transcribe",
+                             "data": {"language": "en"}},
+                  "api_key": admin_key})
+        assert resp.status == 201
+        body = await resp.json()
+        task_id = body["data"]["id"]
+        assert "api_key" not in body["data"]["config"]
+        task = ctx.task_manager.get_task(task_id)
+        assert task.config.api_key is None
+
+    asyncio.run(_with_server(ctx, flow))
