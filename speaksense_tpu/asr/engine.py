@@ -108,6 +108,48 @@ class _PendingChunk:
         return result
 
 
+class _PendingMultiChunk:
+    """Handle for one OVERSIZED in-flight stream chunk (WhisperEngine.
+    submit_stream_chunk): a chunk whose mel bucket exceeds the slot pool's
+    t_mel rides the pool as ceil-split pool-bucket sub-windows admitted
+    CONCURRENTLY (each gets the pool's per-window token budget, so the
+    budget scales with chunk length), instead of falling back to the window
+    batcher. settle() joins the pieces in submission order and merges their
+    segments onto the chunk's absolute timeline. Split points are hard cuts
+    with no overlap — healing boundary words is the transport layer's job
+    (the 1 s chunk overlap in serving/stream.py), exactly as it is for the
+    reference's own 5 s hard chunk cuts
+    (/root/reference/src/grpc/handlers/asr.rs:14-18)."""
+
+    __slots__ = ("engine", "state", "futures", "piece_samples", "n_samples",
+                 "params", "language", "conditioned")
+
+    def __init__(self, engine, state, futures, piece_samples, n_samples,
+                 params, language, conditioned: bool = False):
+        self.engine = engine
+        self.state = state
+        self.futures = futures
+        self.piece_samples = piece_samples
+        self.n_samples = n_samples
+        self.params = params
+        self.language = language
+        self.conditioned = conditioned
+
+    def settle(self) -> TranscribeResult:
+        try:
+            raws = [f.result() for f in self.futures]
+            result = self.engine._finish_slot_chunk_multi(
+                raws, self.piece_samples, self.n_samples, self.params,
+                self.language, self.state)
+        finally:
+            if self.conditioned and self.state is not None:
+                with self.state.lock:
+                    self.state.inflight_conditioned -= 1
+        if self.state is not None:
+            self.state.language = result.language or self.state.language
+        return result
+
+
 class WhisperEngine(AsrEngine):
     def __init__(self, params, dims: W.WhisperDims, tokenizer: Tokenizer,
                  mel_filters: np.ndarray | None = None,
@@ -741,10 +783,13 @@ class WhisperEngine(AsrEngine):
         streams carry previous-text conditioning (the price is a larger
         per-slot KV page, i.e. more self-KV read per step).
 
-        NOTE the pool serves ONE mel bucket (t_mel): a stream chunk whose
-        frame bucket differs (e.g. a >10 s chunk bucketing to 1024) falls
-        back to the window batcher — correct but slower; size chunk_bytes
-        to the bucket when using slot serving.
+        NOTE the pool is COMPILED for one mel bucket (t_mel) but serves
+        every chunk size: shorter chunks ride zero-padded (tail flush),
+        OVERSIZED chunks (e.g. a 20 s chunk against the default 512-frame
+        pool) ride as ceil-split sub-windows admitted concurrently
+        (_PendingMultiChunk). The only window-batcher fallback left is a
+        SUB-bucket chunk against a pool built above the smallest bucket
+        (t_mel > 512) — deliberate: the smaller window program is cheaper.
 
         On a sharded engine (shard() called first) the pool's pages shard
         with the params: slot rows on dp, heads on tp. The slot count is
@@ -803,6 +848,37 @@ class WhisperEngine(AsrEngine):
         return self._postprocess(segs, params, language,
                                  n_tokens=int(raw["n_sampled"]))
 
+    def _finish_slot_chunk_multi(self, raws: list[dict], piece_samples: int,
+                                 n_samples: int, params: AsrParams,
+                                 language: str | None,
+                                 state: EngineState | None) -> TranscribeResult:
+        """Host postprocess for one OVERSIZED stream chunk decoded as
+        several pool-bucket sub-windows (see _PendingMultiChunk): per-piece
+        token->segment conversion clamped to the piece's true duration,
+        offset onto the chunk's absolute timeline, then ONE reference
+        segment pipeline (_postprocess) over the merged list — the result
+        is indistinguishable in shape from a single-window decode."""
+        segs_all: list[dict] = []
+        text_toks: list[int] = []
+        n_tokens = 0
+        for i, raw in enumerate(raws):
+            off = i * piece_samples / SAMPLE_RATE
+            dur = min(piece_samples, n_samples - i * piece_samples) / SAMPLE_RATE
+            segs, _ = D.segments_from_tokens(raw["tokens"], raw["n_sampled"],
+                                             self.tokenizer)
+            for s in segs:
+                s["end"] = min(s["end"], dur) + off
+                s["start"] = min(s["start"], s["end"] - off) + off
+            segs_all.extend(segs)
+            n_tokens += int(raw["n_sampled"])
+            text_toks.extend(int(t) for t in raw["tokens"][: raw["n_sampled"]]
+                             if t < self.tokenizer.eot)
+        if state is not None:
+            server = getattr(self, "_slot_server", None)
+            cap = server.pool.max_prompt if server is not None else 16
+            state.context_tokens = (state.context_tokens + text_toks)[-cap:]
+        return self._postprocess(segs_all, params, language, n_tokens=n_tokens)
+
     def submit_stream_chunk(self, state: EngineState | None, audio,
                             params: AsrParams, pad_to_bucket: bool = False):
         """Nonblocking stream-chunk submission for SESSION-LEVEL PIPELINING.
@@ -814,9 +890,11 @@ class WhisperEngine(AsrEngine):
         during the host postprocess + transport turnaround instead of
         idling one full round trip per chunk. Returns a handle with
         .settle() -> TranscribeResult, or None when the chunk must take the
-        sequential transcribe_with_state path (no slot pool, off-bucket
-        chunk, or conditioning active — chunk k+1's prompt then depends on
-        chunk k's output)."""
+        sequential transcribe_with_state path (no slot pool, a sub-bucket
+        chunk without pad_to_bucket, or the conditioned-pipelining bound
+        reached — chunk k+1's prompt then depends on chunk k's output).
+        Oversized chunks are served as concurrent pool sub-windows
+        (_PendingMultiChunk), never declined."""
         if not params.stream_mode:
             return None
         server = getattr(self, "_slot_server", None)
@@ -830,13 +908,17 @@ class WhisperEngine(AsrEngine):
             audio = audio.astype(np.float32, copy=False)
         n_frames = max(1, audio.size // MEL.HOP_LENGTH)
         bucket = self._mel_bucket(n_frames)
-        if bucket != server.pool.t_mel:
+        # OVERSIZED chunks (bucket > pool bucket, e.g. a 20 s chunk against
+        # the default 512-frame pool) ride the pool as ceil-split sub-windows
+        # admitted concurrently (_PendingMultiChunk) — no window-batcher
+        # fallback, and the token budget scales with chunk length.
+        oversized = bucket > server.pool.t_mel
+        if bucket != server.pool.t_mel and not oversized:
             # pad_to_bucket: a SHORT chunk (e.g. the end-of-stream tail
             # flush) rides the pool zero-padded to its bucket — during a
             # drain the marginal decode is nearly free, vs a separate
-            # window-batcher program dispatch. Oversized chunks still take
-            # the sequential path (padding cannot help them).
-            if not (pad_to_bucket and bucket < server.pool.t_mel):
+            # window-batcher program dispatch.
+            if not pad_to_bucket:
                 return None
         context = None
         conditioned = False
@@ -860,13 +942,26 @@ class WhisperEngine(AsrEngine):
             conditioned = True
         language = params.language or (state.language if state else None) or "en"
         try:
-            fut = server.submit_audio(audio, language=language, task=params.task,
-                                      context=context, denoise=params.denoise)
+            if oversized:
+                piece = server.pool.t_mel * MEL.HOP_LENGTH
+                futs = [server.submit_audio(audio[i:i + piece],
+                                            language=language, task=params.task,
+                                            context=context,
+                                            denoise=params.denoise)
+                        for i in range(0, audio.size, piece)]
+            else:
+                fut = server.submit_audio(audio, language=language,
+                                          task=params.task,
+                                          context=context,
+                                          denoise=params.denoise)
         except Exception:
             if conditioned:
                 with state.lock:
                     state.inflight_conditioned -= 1
             raise
+        if oversized:
+            return _PendingMultiChunk(self, state, futs, piece, audio.size,
+                                      params, language, conditioned=conditioned)
         return _PendingChunk(self, state, fut, audio.size, params, language,
                              conditioned=conditioned)
 
@@ -882,9 +977,27 @@ class WhisperEngine(AsrEngine):
         # chunks: token-granularity admission beats window coalescing when
         # many streams are mid-decode
         server = getattr(self, "_slot_server", None)
+        if server is not None and bucket > server.pool.t_mel:
+            # OVERSIZED chunk: ride the pool as ceil-split pool-bucket
+            # sub-windows (same policy as submit_stream_chunk), settled
+            # synchronously here — the ordered sequential path reads fully
+            # current conditioning context
+            context = None
+            if (state is not None and params.condition_on_previous_text
+                    and server.pool.max_prompt > 16):
+                context = list(state.context_tokens) or None
+            piece = server.pool.t_mel * MEL.HOP_LENGTH
+            futs = [server.submit_audio(audio[i:i + piece], language=language,
+                                        task=params.task, context=context,
+                                        denoise=params.denoise)
+                    for i in range(0, audio.size, piece)]
+            raws = [f.result() for f in futs]
+            return self._finish_slot_chunk_multi(raws, piece, audio.size,
+                                                 params, language, state)
         if server is not None and bucket != server.pool.t_mel:
-            # documented fallback (see enable_slot_serving): off-bucket
-            # chunks decode through the window batcher instead
+            # documented fallback (see enable_slot_serving): a SUB-bucket
+            # chunk on a pool built above the smallest bucket decodes
+            # through the (smaller, cheaper) window-batcher program instead
             METRICS.inc("asr_slot_bucket_fallbacks_total")
             log.debug("stream chunk bucket %d != pool bucket %d; window path",
                       bucket, server.pool.t_mel)

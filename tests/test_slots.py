@@ -258,10 +258,14 @@ def test_submit_stream_chunk_gating(engine, rng):
         assert engine.submit_stream_chunk(
             engine.create_state(), audio,
             AsrParams(language="en", stream_mode=False)) is None
-        # off-bucket chunk (>10 s buckets to 1024 != pool 512) -> None
+        # OVERSIZED chunk (>10 s buckets to 1024 > pool 512) -> served as
+        # ceil-split concurrent pool sub-windows, NOT declined (the r3
+        # oversized policy; see test_oversized_chunk_rides_pool)
         long_audio = (rng.standard_normal(16000 * 11) * 0.1).astype(np.float32)
-        assert engine.submit_stream_chunk(
-            engine.create_state(), long_audio, stream) is None
+        pending_long = engine.submit_stream_chunk(
+            engine.create_state(), long_audio, stream)
+        assert pending_long is not None and len(pending_long.futures) == 3
+        pending_long.settle()
         # in-bucket unconditioned chunk -> pending handle, settles to the
         # same result shape the sequential path returns
         pending = engine.submit_stream_chunk(engine.create_state(), audio, stream)
@@ -293,6 +297,60 @@ def test_submit_stream_chunk_gating(engine, rng):
         p4 = engine.submit_stream_chunk(state, audio, stream)
         assert p4 is not None
         p4.settle()
+    finally:
+        engine.disable_slot_serving()
+
+
+def test_oversized_chunk_rides_pool(engine, rng):
+    """A stream chunk BIGGER than the pool bucket (the last window-batcher
+    fallback left after r3's pad_to_bucket) is served as ceil-split
+    concurrent pool sub-windows with segment times offset onto the chunk's
+    absolute timeline — and the fallback metric does not move. The
+    pipelined (submit_stream_chunk) and sequential (transcribe_with_state)
+    paths agree exactly: same pool programs, deterministic greedy decode."""
+    from speaksense_tpu.asr import AsrParams
+    from speaksense_tpu.audio import mel as MEL
+    from speaksense_tpu.utils.metrics import REGISTRY as METRICS
+
+    engine.enable_slot_serving(n_slots=2, t_mel=512, max_new=8)
+    stream = AsrParams(language="en", stream_mode=True)
+    try:
+        piece = 512 * MEL.HOP_LENGTH  # pool-bucket samples (5.12 s)
+        audio = (rng.standard_normal(2 * piece + piece // 2) * 0.1
+                 ).astype(np.float32)
+
+        def fallbacks():
+            return METRICS.snapshot()["counters"].get(
+                "asr_slot_bucket_fallbacks_total", 0.0)
+
+        before = fallbacks()
+        merged = engine.transcribe_with_state(engine.create_state(), audio,
+                                              stream)
+        assert fallbacks() == before  # pool-served, no window-batcher trip
+        pending = engine.submit_stream_chunk(engine.create_state(), audio,
+                                             stream)
+        assert pending is not None and len(pending.futures) == 3
+        assert pending.settle() == merged
+
+        dur = piece / 16000
+        for s in merged.segments:
+            assert -1e-6 <= s.start <= s.end <= audio.size / 16000 + 1e-6
+        # piece-for-piece parity: stream mode keeps the LAST (filtered)
+        # segment, so merged == the last piece that decodes to any segment,
+        # its window times offset by the full pieces before it
+        pieces = [engine.transcribe_with_state(engine.create_state(),
+                                               audio[i:i + piece], stream)
+                  for i in range(0, audio.size, piece)]
+        exp = [(i, r) for i, r in enumerate(pieces) if r.segments]
+        if not exp:
+            assert merged.segments == []
+        else:
+            i, r = exp[-1]
+            assert [s.text for s in merged.segments] == \
+                [s.text for s in r.segments]
+            for m, t in zip(merged.segments, r.segments):
+                assert abs(m.start - (t.start + i * dur)) < 1e-6
+                assert abs(m.end - (t.end + i * dur)) < 1e-6
     finally:
         engine.disable_slot_serving()
 
@@ -631,8 +689,8 @@ def test_finish_flush_rides_the_slot_pool(engine, rng):
 
 def test_submit_stream_chunk_pad_to_bucket(engine, rng):
     """pad_to_bucket admits a sub-bucket chunk zero-padded to the pool's mel
-    bucket (used by finish()); without the flag, off-bucket chunks still
-    decline, and oversized chunks decline either way."""
+    bucket (used by finish()); without the flag, sub-bucket chunks still
+    decline; oversized chunks ride as split sub-windows regardless."""
     from speaksense_tpu.asr import AsrParams
 
     stream = AsrParams(language="en", stream_mode=True)
@@ -648,11 +706,13 @@ def test_submit_stream_chunk_pad_to_bucket(engine, rng):
         assert pending is not None
         res = pending.settle()
         assert res.language == "en"
-        # oversized (> pool bucket) declines even with the flag
+        # oversized (> pool bucket) rides as ceil-split concurrent pool
+        # sub-windows (12 s against the 1024-frame / 10.24 s pool -> 2)
         long_audio = (rng.standard_normal(16000 * 12) * 0.1).astype(np.float32)
-        assert engine.submit_stream_chunk(
-            engine.create_state(), long_audio, stream,
-            pad_to_bucket=True) is None
+        pending_long = engine.submit_stream_chunk(
+            engine.create_state(), long_audio, stream)
+        assert pending_long is not None and len(pending_long.futures) == 2
+        pending_long.settle()
     finally:
         engine.disable_slot_serving()
 
