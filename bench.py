@@ -243,12 +243,15 @@ def bench_serve(model_name: str, emit: bool = True):
                 # warm EVERY program variant before timing: a single stream
                 # compiles the trickle paths (bucket-1 admit, finish flush),
                 # but the saturated phase ALSO needs the burst admit buckets
-                # (8 concurrent streams -> bucket-8 admission) — when those
-                # compiled inside the timed window (minutes on the remote
-                # compiler, cold cache) the measured RTF halved, which was
-                # the r2 PERF.md-vs-driver 147x-vs-75x gap
+                # (N concurrent streams -> bucket-N admission, N = the
+                # largest configured SPEAKSENSE_ADMIT_BUCKETS entry) — when
+                # those compiled inside the timed window (minutes on the
+                # remote compiler, cold cache) the measured RTF halved,
+                # which was the r2 PERF.md-vs-driver 147x-vs-75x gap
+                warm_n = max(8, max(int(b) for b in os.environ.get(
+                    "SPEAKSENSE_ADMIT_BUCKETS", "1,8").split(",")))
                 await one(ch)
-                await asyncio.gather(*[one(ch) for _ in range(8)])
+                await asyncio.gather(*[one(ch) for _ in range(warm_n)])
                 lat.clear()
                 n_resp[0] = n_resp[1] = 0
                 t0 = time.perf_counter()
