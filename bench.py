@@ -163,6 +163,10 @@ def bench_serve(model_name: str, emit: bool = True, **overrides):
     # traffic; per-out-channel int8 halves that (drift bounds pinned in
     # tests/test_accuracy.py). Opt-in pending WER validation on real audio.
     int8_w = knob("BENCH_SERVE_INT8W", "0", bool)
+    # int8 SELF-KV circular pages (r4): the bf16 ring quantizes at flush —
+    # per-token scales, folded exactly — halving the archived-page reads,
+    # the largest byte stream of the pool step
+    int8_self = knob("BENCH_SERVE_INT8SELF", "0", bool)
     fallback = knob("BENCH_SERVE_FALLBACK", "0", bool)
     thresh = {} if (beam <= 1 or fallback) else dict(
         compression_ratio_thold=1e9, logprob_thold=-1e9, entropy_thold=-1.0)
@@ -188,7 +192,8 @@ def bench_serve(model_name: str, emit: bool = True, **overrides):
     if use_slots:
         engine.enable_slot_serving(
             n_slots=beam_slots if beam > 1 else n_streams, t_mel=512,
-            max_new=max_new, int8_kv=True, beam_size=beam)
+            max_new=max_new, int8_kv=True, self_int8=int8_self,
+            beam_size=beam)
         engine._slot_server.steps_per_dispatch = serve_k
     # production shape (main.build_engine): the gRPC server always sees the
     # BatchedEngine wrapper, which forwards the slot-pool fast paths
@@ -336,6 +341,7 @@ def bench_serve(model_name: str, emit: bool = True, **overrides):
                   + (f"beam={beam}, fallback {'on' if fallback else 'off'}, "
                      if beam > 1 else "")
                   + ("int8 weights, " if int8_w else "")
+                  + ("int8 self-KV, " if int8_self else "")
                   + f"denoise={'on' if denoise else 'off'}, rules+stitching on)",
         "value": round(rtf, 2),
         "unit": "x_realtime",
@@ -357,7 +363,8 @@ def bench_serve(model_name: str, emit: bool = True, **overrides):
             "streams": n_streams, "chunks": n_chunks,
             "paced_chunks": paced_chunks, "tokens": max_new,
             "denoise": denoise, "slots": use_slots, "k": serve_k,
-            "beam": beam, "int8_w": int8_w, "repeats": repeats,
+            "beam": beam, "int8_w": int8_w, "int8_self": int8_self,
+            "repeats": repeats,
             "beam_slots": beam_slots if (beam > 1 and use_slots) else None,
             "admit_buckets": os.environ.get("SPEAKSENSE_ADMIT_BUCKETS", "1,8"),
             "max_inflight": os.environ.get("SPEAKSENSE_MAX_INFLIGHT", "8"),

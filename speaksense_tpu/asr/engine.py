@@ -771,6 +771,7 @@ class WhisperEngine(AsrEngine):
     def enable_slot_serving(self, n_slots: int | None = None,
                             t_mel: int = 512, max_new: int = 96,
                             int8_kv: bool | None = None,
+                            self_int8: bool = False,
                             max_prompt: int = 16,
                             beam_size: int | None = None) -> None:
         """Route streaming chunks through the token-level slot pool
@@ -813,6 +814,7 @@ class WhisperEngine(AsrEngine):
             self, n_slots=n_slots,
             t_mel=t_mel, max_new=max_new,
             int8_kv=self.config.cross_kv_int8 if int8_kv is None else int8_kv,
+            self_int8=self_int8,
             max_prompt=max_prompt, mesh=self.mesh, beam_size=beam_size)
 
     @property

@@ -162,7 +162,12 @@ def decode_loop(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mask: jax
         width = ring_width
         while L % width:  # chunks must tile max_new exactly
             width //= 2
-        state["ring"] = W.init_ring(dims, B, width, dtype=cache["self_k"].dtype)
+        # int8 circular pages keep a FULL-PRECISION ring: rows quantize once
+        # per flush (W.flush_ring), not per step
+        ring_dtype = (params["decoder"]["tok_emb"].dtype
+                      if cache["self_k"].dtype == jnp.int8
+                      else cache["self_k"].dtype)
+        state["ring"] = W.init_ring(dims, B, width, dtype=ring_dtype)
 
     def cond(s):
         return (s["step"] < L) & ~jnp.all(s["finished"])
@@ -239,9 +244,11 @@ def transcribe_window(params, dims: W.WhisperDims, cfg: RuleConfig, suppress_mas
     Returns decode_loop outputs + avg_logprob (B,), no_speech_prob (B,).
     """
     B, P = prompt.shape
-    if self_kv_int8 and kv_write in ("uniform", "ring"):
-        # int8 self-KV (a slot-pool memory feature) keeps the per-slot write
-        # path — the ring stores bf16 rows only
+    if self_kv_int8 and kv_write == "uniform":
+        # plain uniform-DUS writes into int8 pages would need a per-step
+        # quantize (the write-time path that measured speed-neutral); only
+        # "ring" (flush-time quantization, the r4 lever) and "dus" support
+        # int8 pages
         kv_write = "dus"
     enc = W.encode(params, dims, mel, n_ctx_out=n_audio_ctx)
     # Cap the self-KV time axis at the window's actual token budget (prompt +

@@ -473,6 +473,16 @@ def _quantize_kv_rows(x: jax.Array):
     return q, scale[..., 0]
 
 
+def _quantize_kv_pages(x: jax.Array):
+    """Per-token int8 quantization of TIME-MINOR KV pages (the Dh axis is
+    second-minor): x (..., Dh, T) -> (int8 (..., Dh, T), f32 (..., T))."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale[..., 0, :]
+
+
 def _cached_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       mask: jax.Array | None) -> jax.Array:
     """Attention over time-minor cached KV. q: (B, H, P, Dh);
@@ -882,17 +892,36 @@ def flush_ring(cache: Params, ring: Params) -> tuple[Params, Params]:
     [gen_base + fill, ...) and reset the ring. Writes the full W-column
     window (garbage beyond n stays masked by `fill` accounting and is
     overwritten by the next flush); requires the cache time axis to hold
-    gen_base + round_up(max_new, W) columns so the window never clamps."""
+    gen_base + round_up(max_new, W) columns so the window never clamps.
+
+    INT8 pages (self_k_scale present): the bf16 ring rows quantize HERE —
+    once per W steps, batched over (L,B,H,W) — and the per-token scales
+    land in the (L,B,H,T) scale tensors with a second DUS at the same
+    column. Flush-time quantization is what makes int8 self-KV a WIN:
+    the write-time path paid quantize+scale-write every step and measured
+    speed-neutral (PERF.md int8 self-KV row)."""
     z = jnp.zeros((), jnp.int32)
     at = cache["gen_base"] + cache["fill"]
-    rk = jnp.swapaxes(ring["k"], -1, -2).astype(cache["self_k"].dtype)
-    rv = jnp.swapaxes(ring["v"], -1, -2).astype(cache["self_v"].dtype)
+    int8_pages = cache["self_k"].dtype == jnp.int8
+    if int8_pages:
+        rkq, rks = _quantize_kv_rows(ring["k"])     # (L,B,H,W,Dh), (L,B,H,W)
+        rvq, rvs = _quantize_kv_rows(ring["v"])
+        rk = jnp.swapaxes(rkq, -1, -2)
+        rv = jnp.swapaxes(rvq, -1, -2)
+    else:
+        rk = jnp.swapaxes(ring["k"], -1, -2).astype(cache["self_k"].dtype)
+        rv = jnp.swapaxes(ring["v"], -1, -2).astype(cache["self_v"].dtype)
     cache = {**cache,
              "self_k": jax.lax.dynamic_update_slice(
                  cache["self_k"], rk, (z, z, z, z, at)),
              "self_v": jax.lax.dynamic_update_slice(
                  cache["self_v"], rv, (z, z, z, z, at)),
              "fill": cache["fill"] + ring["n"]}
+    if int8_pages:
+        cache["self_k_scale"] = jax.lax.dynamic_update_slice(
+            cache["self_k_scale"], rks, (z, z, z, at))
+        cache["self_v_scale"] = jax.lax.dynamic_update_slice(
+            cache["self_v_scale"], rvs, (z, z, z, at))
     return cache, {**ring, "n": jnp.zeros((), jnp.int32)}
 
 
@@ -926,6 +955,39 @@ def _joint_decode_attention_ring(q, k_cache, v_cache, mask_cache,
     return out.astype(q.dtype)
 
 
+def _joint_decode_attention_ring_q8t(q, kq, vq, ks, vs, mask_cache,
+                                     k_ring, v_ring, mask_ring, k_new, v_new):
+    """_joint_decode_attention_ring over an INT8 per-token-scaled big cache:
+    the archived columns are int8 with (B,H,T) f32 scales (folded exactly —
+    a key scale multiplies its logit column, a value scale its softmax
+    weight); the chunk-local ring and the current column stay bf16, so the
+    quantization boundary is the flush. q, k_new, v_new (B,H,1,Dh);
+    kq/vq int8 (B,H,Dh,T); ks/vs f32 (B,H,T); k_ring/v_ring (B,H,W,Dh)
+    ROW-major; masks broadcastable to (B,H,1,T|W)."""
+    T = kq.shape[-1]
+    W = k_ring.shape[-2]
+    scale = q.shape[-1] ** -0.5
+    lc = jnp.einsum("bhpd,bhdt->bhpt", q, kq.astype(q.dtype),
+                    preferred_element_type=jnp.float32)
+    lc = lc * (ks[:, :, None, :] * scale)
+    lc = jnp.where(mask_cache, lc, -1e30)
+    lr = jnp.einsum("bhpd,bhwd->bhpw", q, k_ring.astype(q.dtype),
+                    preferred_element_type=jnp.float32) * scale
+    lr = jnp.where(mask_ring, lr, -1e30)
+    ls = jnp.sum(q.astype(jnp.float32) * k_new.astype(jnp.float32),
+                 axis=-1, keepdims=True) * scale
+    joint = jax.nn.softmax(jnp.concatenate([lc, lr, ls], axis=-1), axis=-1)
+    wc = (joint[..., :T] * vs[:, :, None, :]).astype(q.dtype)
+    wr = joint[..., T:T + W].astype(q.dtype)
+    ws = joint[..., T + W:]
+    out = jnp.einsum("bhpt,bhdt->bhpd", wc, vq.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("bhpw,bhwd->bhpd", wr, v_ring.astype(q.dtype),
+                           preferred_element_type=jnp.float32)
+    out = out + ws * v_new.astype(jnp.float32)
+    return out.astype(q.dtype)
+
+
 def decode_step_ring(params: Params, dims: WhisperDims, token: jax.Array,
                      cache: Params, ring: Params,
                      mask_cache: jax.Array | None = None,
@@ -941,8 +1003,12 @@ def decode_step_ring(params: Params, dims: WhisperDims, token: jax.Array,
 
     The current chunk's generations live in `ring` (written at the scalar
     row ring["n"]). Flush every W steps (flush_ring, or the pool's circular
-    flush). Self-KV must be bf16 (int8 self-KV is a slot-pool memory
-    feature on the legacy write path)."""
+    flush). The big self-KV pages may be INT8 with per-token scales
+    (self_k_scale/self_v_scale, (L,B,H,T)): the ring stays bf16 and the
+    flush quantizes (r4 lever — flush-time quantization amortizes the
+    quantize cost W-fold vs the write-time path that measured
+    speed-neutral, and the archived-page reads are the largest byte
+    stream of the step)."""
     p = params["decoder"]
     pos = cache["pos"]
     dtype = p["tok_emb"].dtype
@@ -964,15 +1030,21 @@ def decode_step_ring(params: Params, dims: WhisperDims, token: jax.Array,
     # rows (they hold the previous occupant's writes from this chunk)
     n_head = dims.n_text_head
     cross_quant = "cross_k_scale" in cache
+    self_quant = "self_k_scale" in cache
 
     def block(carry, xs):
         x, = carry
         bp = xs["bp"]
         h = _ln(x, bp["attn_ln"])
         q, k_new, v_new = _qkv_proj(h, bp, n_head)
-        attn = _joint_decode_attention_ring(
-            q, xs["sk"], xs["sv"], mask_cache,
-            xs["rk"], xs["rv"], mask_ring, k_new, v_new)
+        if self_quant:
+            attn = _joint_decode_attention_ring_q8t(
+                q, xs["sk"], xs["sv"], xs["sks"], xs["svs"], mask_cache,
+                xs["rk"], xs["rv"], mask_ring, k_new, v_new)
+        else:
+            attn = _joint_decode_attention_ring(
+                q, xs["sk"], xs["sv"], mask_cache,
+                xs["rk"], xs["rv"], mask_ring, k_new, v_new)
         x = x + _linear(_merge_heads(attn), bp["o"])
         h = _ln(x, bp["cross_ln"])
         cq = _split_heads(_linear(h, bp["cq"]), n_head)
@@ -991,6 +1063,8 @@ def decode_step_ring(params: Params, dims: WhisperDims, token: jax.Array,
           "rk": ring["k"], "rv": ring["v"]}
     if cross_quant:
         xs.update(cks=cache["cross_k_scale"], cvs=cache["cross_v_scale"])
+    if self_quant:
+        xs.update(sks=cache["self_k_scale"], svs=cache["self_v_scale"])
     (x,), (k_new, v_new) = jax.lax.scan(block, (x,), xs)
     # k_new/v_new: (L, B, H, 1, Dh) — one row-major DUS at scalar row n
     z = jnp.zeros((), jnp.int32)

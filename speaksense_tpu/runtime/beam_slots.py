@@ -43,10 +43,16 @@ class BeamSlotPool(SlotPool):
 
     def __init__(self, engine, n_slots: int, t_mel: int, max_new: int,
                  beam_size: int = 5, **kw):
-        kw.pop("self_int8", None)  # beam pages are bf16 ring-mode only
+        # self_int8: int8 SELF-KV beam pages (r4). The beam step's page
+        # reads DOMINATE its bytes (every hypothesis contracts against all
+        # K rows' pages: ~4.3 GB/step at S=32 K=5 large-v3 vs ~1.7 GB of
+        # weights), so int8 pages are both a speed lever and the capacity
+        # lever for >32 beam slots (40 bf16 beam slots OOM — PERF.md r4).
+        # Ring rows stay bf16; the flush quantizes (same design as the
+        # greedy pool).
         self.K = int(beam_size)
         assert self.K >= 2, "use SlotPool for greedy serving"
-        super().__init__(engine, n_slots, t_mel, max_new, self_int8=False, **kw)
+        super().__init__(engine, n_slots, t_mel, max_new, **kw)
 
     # ------------------------------------------------------------------ state
 
@@ -57,7 +63,7 @@ class BeamSlotPool(SlotPool):
         Dh = dims.n_text_state // H
         R = (S + 1) * K
         cache_self = W.init_cache(dims, R, self.n_audio_ctx, dtype=dtype,
-                                  t_text=T)
+                                  self_kv_int8=self.self_int8, t_text=T)
         # cross shapes from a throwaway (S+1)-row cache (t_text minimal)
         cache_cross = W.init_cache(dims, S + 1, self.n_audio_ctx, dtype=dtype,
                                    t_text=self.ring_width)
@@ -66,6 +72,9 @@ class BeamSlotPool(SlotPool):
             cross_k=cache_cross["cross_k"], cross_v=cache_cross["cross_v"],
             pos=jnp.zeros((R,), jnp.int32),
         )
+        if self.self_int8:
+            state["self_k_scale"] = cache_self["self_k_scale"]
+            state["self_v_scale"] = cache_self["self_v_scale"]
         if self.int8_kv:
             state["cross_k"] = jnp.zeros(state["cross_k"].shape, jnp.int8)
             state["cross_v"] = jnp.zeros(state["cross_v"].shape, jnp.int8)
@@ -170,8 +179,20 @@ class BeamSlotPool(SlotPool):
             rows = (slots[:, None] * K
                     + jnp.arange(K, dtype=slots.dtype)[None, :]).reshape(-1)
             new = dict(state)
-            new["self_k"] = state["self_k"].at[:, rows].set(place(cache1["self_k"]))
-            new["self_v"] = state["self_v"].at[:, rows].set(place(cache1["self_v"]))
+            sk_placed = place(cache1["self_k"])
+            sv_placed = place(cache1["self_v"])
+            if self.self_int8:
+                # prompt KV quantizes at admission (per-token scales ride
+                # the same circular placement as their columns)
+                skq, sks = W._quantize_kv_pages(sk_placed)
+                svq, svs = W._quantize_kv_pages(sv_placed)
+                new["self_k"] = state["self_k"].at[:, rows].set(skq)
+                new["self_v"] = state["self_v"].at[:, rows].set(svq)
+                new["self_k_scale"] = state["self_k_scale"].at[:, rows].set(sks)
+                new["self_v_scale"] = state["self_v_scale"].at[:, rows].set(svs)
+            else:
+                new["self_k"] = state["self_k"].at[:, rows].set(sk_placed)
+                new["self_v"] = state["self_v"].at[:, rows].set(sv_placed)
             for key, v in cross.items():
                 new[key] = state[key].at[:, slots].set(v)
             new["pos"] = state["pos"].at[rows].set(cache1["pos"])
@@ -215,17 +236,27 @@ class BeamSlotPool(SlotPool):
         Sp1 = S + 1
         assert k <= Wd
 
+        self_q8 = self.self_int8
+
         def block(carry, xs):
             # models/beam._beam_block_factory adapted to Sp1 batch rows with
             # per-SLOT cross-KV (shared by the K beams via einsum)
             x, oh_cache, oh_ring = carry
-            bp, sk, sv, rk, rv, ck, cv, cks, cvs = xs
+            if self_q8:
+                bp, sk, sv, rk, rv, ck, cv, cks, cvs, sks, svs = xs
+            else:
+                bp, sk, sv, rk, rv, ck, cv, cks, cvs = xs
+                sks = svs = None
             h = W._ln(x, bp["attn_ln"])
             q, k_new, v_new = W._qkv_proj(h, bp, n_head)
             qb = q[:, :, 0, :].reshape(Sp1, K, n_head, -1)
             scale = q.shape[-1] ** -0.5
             lc_all = jnp.einsum("bkhd,bKhdt->bkKht", qb, sk.astype(qb.dtype),
                                 preferred_element_type=jnp.float32) * scale
+            if sks is not None:
+                # int8 pages: per-token key scale multiplies its logit
+                # column (exact fold — whisper._cached_attention_q8t)
+                lc_all = lc_all * sks[:, None]
             lc = jnp.einsum("bkKht,bkKt->bkht", lc_all, oh_cache)
             lc = jnp.where(jnp.sum(oh_cache, axis=2)[:, :, None, :] > 0, lc, NEG_INF)
             lr_all = jnp.einsum("bkhd,bKhwd->bkKhw", qb, rk.astype(qb.dtype),
@@ -239,7 +270,12 @@ class BeamSlotPool(SlotPool):
             joint = jax.nn.softmax(
                 jnp.concatenate([lc, lr, ls], axis=-1), axis=-1)
             wc, wr_, ws = joint[..., :T], joint[..., T:T + Wd], joint[..., T + Wd:]
-            wc_sel = (wc[:, :, None, :, :] * oh_cache[:, :, :, None, :]).astype(qb.dtype)
+            wc_sel = wc[:, :, None, :, :] * oh_cache[:, :, :, None, :]
+            if svs is not None:
+                # value scale multiplies its softmax weight before the
+                # V contraction (exact fold)
+                wc_sel = wc_sel * svs[:, None]
+            wc_sel = wc_sel.astype(qb.dtype)
             out = jnp.einsum("bkKht,bKhdt->bkhd", wc_sel, sv.astype(qb.dtype),
                              preferred_element_type=jnp.float32)
             wr_sel = (wr_[:, :, None, :, :] * oh_ring[:, :, :, None, :]).astype(qb.dtype)
@@ -358,10 +394,14 @@ class BeamSlotPool(SlotPool):
             rvv = state["ring_v"].reshape(L, Sp1, K, H, Wd, Dh)
             cks = state.get("cross_k_scale")
             cvs = state.get("cross_v_scale")
+            xs_scan = (p["blocks"], skv, svv, rkv, rvv,
+                       state["cross_k"], state["cross_v"], cks, cvs)
+            if self_q8:
+                xs_scan = xs_scan + (
+                    state["self_k_scale"].reshape(L, Sp1, K, H, T),
+                    state["self_v_scale"].reshape(L, Sp1, K, H, T))
             (x, _, _), (k_new, v_new) = jax.lax.scan(
-                block, (x, oh_cache, oh_ring),
-                (p["blocks"], skv, svv, rkv, rvv,
-                 state["cross_k"], state["cross_v"], cks, cvs))
+                block, (x, oh_cache, oh_ring), xs_scan)
             logits = W._decoder_tail(params, x)[:, 0, :]
 
             z = jnp.zeros((), jnp.int32)
@@ -409,9 +449,24 @@ class BeamSlotPool(SlotPool):
         def flush(state):
             z = jnp.zeros((), jnp.int32)
             at = jnp.mod(state["gstep"], state["self_k"].shape[-1])
-            rk = jnp.swapaxes(state["ring_k"], -1, -2).astype(state["self_k"].dtype)
-            rv = jnp.swapaxes(state["ring_v"], -1, -2).astype(state["self_v"].dtype)
-            return {**state,
+            if self_q8:
+                # flush-time quantization (same as the greedy pool): one
+                # batched quantize of the W bf16 ring rows + a second
+                # uniform DUS for the per-token scales
+                rkq, rks = W._quantize_kv_rows(state["ring_k"])
+                rvq, rvs = W._quantize_kv_rows(state["ring_v"])
+                rk = jnp.swapaxes(rkq, -1, -2)
+                rv = jnp.swapaxes(rvq, -1, -2)
+                extra = {
+                    "self_k_scale": jax.lax.dynamic_update_slice(
+                        state["self_k_scale"], rks, (z, z, z, at)),
+                    "self_v_scale": jax.lax.dynamic_update_slice(
+                        state["self_v_scale"], rvs, (z, z, z, at))}
+            else:
+                rk = jnp.swapaxes(state["ring_k"], -1, -2).astype(state["self_k"].dtype)
+                rv = jnp.swapaxes(state["ring_v"], -1, -2).astype(state["self_v"].dtype)
+                extra = {}
+            return {**state, **extra,
                     "self_k": jax.lax.dynamic_update_slice(
                         state["self_k"], rk, (z, z, z, z, at)),
                     "self_v": jax.lax.dynamic_update_slice(

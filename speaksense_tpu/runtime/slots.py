@@ -79,17 +79,21 @@ class SlotPool:
                  self_int8: bool = False, ring_width: int = 16,
                  max_prompt: int = 16, mesh=None):
         """int8_kv: int8 CROSS-attention KV pages (read-only after admission
-        — pure byte saving). self_int8: int8 SELF-KV pages too; this forces
-        the legacy per-slot write path (the ring stores bf16 rows), so it is
-        a memory-headroom option, not a speed one (measured speed-neutral).
+        — pure byte saving). self_int8: int8 SELF-KV pages too — since r4
+        these RIDE THE RING: the chunk-local ring stays bf16 and the flush
+        quantizes its W rows in one batched op (per-token scales land in
+        (L,S,H,T) tensors with a second uniform DUS), so the quantize cost
+        the old write-time path paid every step (which measured it
+        speed-neutral) is amortized W-fold while the archived-page reads —
+        the largest byte stream of the step — halve.
 
-        Default (bf16 self-KV) uses RING-buffered writes over CIRCULAR
-        pages: per-step KV lands in a small ring at a row index shared by
-        every slot (the in-chunk step counter — slots decode in lockstep
-        even though their fills differ), and ONE uniform flush per chunk
-        folds it in at column gstep % T. The per-step per-slot DUS loop
-        this replaces measured ~25 of 31 ms/step, and the per-slot flush
-        loop ~53 ms/chunk, at S=64 large-v3 (PERF.md)."""
+        All pools use RING-buffered writes over CIRCULAR pages: per-step KV
+        lands in a small ring at a row index shared by every slot (the
+        in-chunk step counter — slots decode in lockstep even though their
+        fills differ), and ONE uniform flush per chunk folds it in at
+        column gstep % T. The per-step per-slot DUS loop this replaces
+        measured ~25 of 31 ms/step, and the per-slot flush loop ~53
+        ms/chunk, at S=64 large-v3 (PERF.md)."""
         self.engine = engine
         self.dims = engine.dims
         self.S = n_slots
@@ -178,35 +182,35 @@ class SlotPool:
             active=jnp.zeros((S + 1,), bool),
             sum_lp=jnp.zeros((S + 1,), jnp.float32),
         )
-        if not self_int8:
-            # Ring mode with CIRCULAR self-KV pages. Per-step writes land in
-            # a chunk-local ring at a slot-UNIFORM row (the in-chunk step
-            # index); the flush is ONE uniform DUS at column gstep % T —
-            # every slot's s-th global step lives at the same column, and
-            # each slot's validity window is an AGE interval (see
-            # _build_step). This removes both per-step AND per-flush
-            # per-slot DUS loops (the flush loop alone measured ~53 ms at
-            # S=64, PERF.md).
-            #   gstep — global step cursor at chunk start (W-aligned)
-            #   cnt   — per-slot written-column extent (ppad + steps since
-            #           admission; advances by W at every flush, all slots)
-            #   plen/ppad — true and padded prompt lengths at admission
-            #           (the padding gap is masked out by age forever)
-            L, H = dims.n_text_layer, dims.n_text_head
-            Dh = dims.n_text_state // dims.n_text_head
-            self.state.update(
-                ring_k=jnp.zeros((L, S + 1, H, ring_width, Dh), dtype),
-                ring_v=jnp.zeros((L, S + 1, H, ring_width, Dh), dtype),
-                ring_n=jnp.zeros((), jnp.int32),
-                gstep=jnp.zeros((), jnp.int32),
-                cnt=jnp.zeros((S + 1,), jnp.int32),
-                plen=jnp.ones((S + 1,), jnp.int32),
-                ppad=jnp.ones((S + 1,), jnp.int32),
-                # MID-RING admission support: ring row index at admission —
-                # the new occupant masks ring rows [0, born) (they hold the
-                # previous occupant's writes from this chunk); reset to 0 at
-                # every flush
-                born=jnp.zeros((S + 1,), jnp.int32))
+        # Ring mode with CIRCULAR self-KV pages (all pools; int8 pages keep
+        # the ring bf16 — the flush quantizes). Per-step writes land in
+        # a chunk-local ring at a slot-UNIFORM row (the in-chunk step
+        # index); the flush is ONE uniform DUS at column gstep % T —
+        # every slot's s-th global step lives at the same column, and
+        # each slot's validity window is an AGE interval (see
+        # _build_step). This removes both per-step AND per-flush
+        # per-slot DUS loops (the flush loop alone measured ~53 ms at
+        # S=64, PERF.md).
+        #   gstep — global step cursor at chunk start (W-aligned)
+        #   cnt   — per-slot written-column extent (ppad + steps since
+        #           admission; advances by W at every flush, all slots)
+        #   plen/ppad — true and padded prompt lengths at admission
+        #           (the padding gap is masked out by age forever)
+        L, H = dims.n_text_layer, dims.n_text_head
+        Dh = dims.n_text_state // dims.n_text_head
+        self.state.update(
+            ring_k=jnp.zeros((L, S + 1, H, ring_width, Dh), dtype),
+            ring_v=jnp.zeros((L, S + 1, H, ring_width, Dh), dtype),
+            ring_n=jnp.zeros((), jnp.int32),
+            gstep=jnp.zeros((), jnp.int32),
+            cnt=jnp.zeros((S + 1,), jnp.int32),
+            plen=jnp.ones((S + 1,), jnp.int32),
+            ppad=jnp.ones((S + 1,), jnp.int32),
+            # MID-RING admission support: ring row index at admission —
+            # the new occupant masks ring rows [0, born) (they hold the
+            # previous occupant's writes from this chunk); reset to 0 at
+            # every flush
+            born=jnp.zeros((S + 1,), jnp.int32))
         if self.mesh is not None:
             # sharded serving: pool pages live distributed from the start so
             # EVERY admit/step dispatch (and every reset-recovery rebuild)
@@ -315,46 +319,51 @@ class SlotPool:
 
             rows = jnp.arange(n)
             new = dict(state)
-            if not self.self_int8:
-                # circular pages: the prompt block [0, P) must land at global
-                # columns [(gstep - P) % T, gstep) — virtually written at the
-                # P steps before the cursor. For P <= ring_width the window
-                # never wraps (gstep is W-aligned, admissions only at ring-
-                # empty), so ONE plain DUS places it (jnp.roll with a traced
-                # shift lowers to a slow gather). Conditioning prompts
-                # (P > W) CAN wrap; place into a T+P-wide scratch and fold
-                # the overflow back to column 0 — still static shapes, two
-                # slices + one add, and the two regions never overlap
-                # (shift + P - T <= shift since P <= T).
-                T = cache1["self_k"].shape[-1]
-                P_len = prompts.shape[1]
-                shift = jnp.mod(state["gstep"] - P_len, T)
+            # circular pages: the prompt block [0, P) must land at global
+            # columns [(gstep - P) % T, gstep) — virtually written at the
+            # P steps before the cursor. For P <= ring_width the window
+            # never wraps (gstep is W-aligned, admissions only at ring-
+            # empty), so ONE plain DUS places it (jnp.roll with a traced
+            # shift lowers to a slow gather). Conditioning prompts
+            # (P > W) CAN wrap; place into a T+P-wide scratch and fold
+            # the overflow back to column 0 — still static shapes, two
+            # slices + one add, and the two regions never overlap
+            # (shift + P - T <= shift since P <= T).
+            T = cache1["self_k"].shape[-1]
+            P_len = prompts.shape[1]
+            shift = jnp.mod(state["gstep"] - P_len, T)
 
-                if P_len <= self.ring_width:
-                    def place(page):
-                        z = jnp.zeros((), jnp.int32)
-                        return jax.lax.dynamic_update_slice(
-                            jnp.zeros_like(page), page[..., :P_len],
-                            (z, z, z, z, shift))
-                else:
-                    def place(page):
-                        z = jnp.zeros((), jnp.int32)
-                        buf = jnp.zeros(page.shape[:-1] + (T + P_len,), page.dtype)
-                        buf = jax.lax.dynamic_update_slice(
-                            buf, page[..., :P_len], (z, z, z, z, shift))
-                        return buf[..., :T].at[..., :P_len].add(buf[..., T:])
+            if P_len <= self.ring_width:
+                def place(page):
+                    # page: any rank with the circular T axis MINOR
+                    # (5D KV pages, 4D per-token scale tensors)
+                    z = (jnp.zeros((), jnp.int32),) * (page.ndim - 1)
+                    return jax.lax.dynamic_update_slice(
+                        jnp.zeros_like(page), page[..., :P_len], z + (shift,))
+            else:
+                def place(page):
+                    z = (jnp.zeros((), jnp.int32),) * (page.ndim - 1)
+                    buf = jnp.zeros(page.shape[:-1] + (T + P_len,), page.dtype)
+                    buf = jax.lax.dynamic_update_slice(
+                        buf, page[..., :P_len], z + (shift,))
+                    return buf[..., :T].at[..., :P_len].add(buf[..., T:])
 
-                cache1 = {**cache1,
-                          "self_k": place(cache1["self_k"]),
-                          "self_v": place(cache1["self_v"])}
-                P_pad = jnp.int32(prompts.shape[1])
-                new["cnt"] = state["cnt"].at[slots].set(
-                    jnp.full((n,), P_pad, jnp.int32))
-                new["ppad"] = state["ppad"].at[slots].set(
-                    jnp.full((n,), P_pad, jnp.int32) + ring_fill)
-                new["plen"] = state["plen"].at[slots].set(plen)
-                new["born"] = state["born"].at[slots].set(
-                    jnp.full((n,), 1, jnp.int32) * ring_fill)
+            placed = {"self_k": place(cache1["self_k"]),
+                      "self_v": place(cache1["self_v"])}
+            if self.self_int8:
+                # int8 pages carry (L, n, H, T) per-token scales; they
+                # rotate with their columns
+                placed["self_k_scale"] = place(cache1["self_k_scale"])
+                placed["self_v_scale"] = place(cache1["self_v_scale"])
+            cache1 = {**cache1, **placed}
+            P_pad = jnp.int32(prompts.shape[1])
+            new["cnt"] = state["cnt"].at[slots].set(
+                jnp.full((n,), P_pad, jnp.int32))
+            new["ppad"] = state["ppad"].at[slots].set(
+                jnp.full((n,), P_pad, jnp.int32) + ring_fill)
+            new["plen"] = state["plen"].at[slots].set(plen)
+            new["born"] = state["born"].at[slots].set(
+                jnp.full((n,), 1, jnp.int32) * ring_fill)
             for k in _KV_KEYS:
                 if k in cache1:
                     new[k] = state[k].at[:, slots].set(cache1[k])
@@ -375,9 +384,8 @@ class SlotPool:
 
     def _build_step(self, k: int = 1, do_flush: bool = False):
         dims, cfg = self.dims, self.cfg
-        ring_mode = not self.self_int8
         W_ring = self.ring_width
-        assert not ring_mode or k <= W_ring, (
+        assert k <= W_ring, (
             f"steps_per_dispatch {k} overflows the {W_ring}-row KV ring")
 
 
@@ -407,51 +415,39 @@ class SlotPool:
                                tok[:, None], state["tokens"])
 
             cache = {k: state[k] for k in _KV_KEYS + ("pos",) if k in state}
-            if ring_mode:
-                # circular-page step: every slot writes ring row ring_n (the
-                # in-chunk step index — uniform even though slot fills
-                # differ). Cache validity is an AGE interval per slot:
-                # column t holds global step g' = g-1-((g-1-t) mod T), i.e.
-                # age a = g-g' in [1, T]; ages <= n live in the ring (the
-                # cache column there is T-steps stale), ages up to the
-                # slot's extent cnt+n are real, and the prompt-padding gap
-                # (the ppad-plen columns just below the true prompt) is
-                # excluded forever.
-                T = state["self_k"].shape[-1]
-                n = state["ring_n"]
-                g = state["gstep"] + n
-                age = jnp.mod(g - 1 - jnp.arange(T), T) + 1       # (T,)
-                ext = state["cnt"] + n                             # (S+1,)
-                pad_hi = ext - state["plen"]
-                pad_lo = ext - state["ppad"]
-                valid = ((age[None, :] > n) & (age[None, :] <= ext[:, None])
-                         & ~((age[None, :] > pad_lo[:, None])
-                             & (age[None, :] <= pad_hi[:, None])))
-                ring = {"k": state["ring_k"], "v": state["ring_v"],
-                        "n": n}
-                w_idx = jnp.arange(self.ring_width)[None, None, None, :]
-                mask_ring = ((w_idx < n)
-                             & (w_idx >= state["born"][:, None, None, None]))
-                logits, cache, ring = W.decode_step_ring(
-                    params, dims, tok, cache, ring,
-                    mask_cache=valid[:, None, None, :], mask_ring=mask_ring)
-                cache.update(ring_k=ring["k"], ring_v=ring["v"], ring_n=ring["n"])
-            else:
-                logits, cache = W.decode_step(params, dims, tok, cache)
+            # circular-page step: every slot writes ring row ring_n (the
+            # in-chunk step index — uniform even though slot fills
+            # differ). Cache validity is an AGE interval per slot:
+            # column t holds global step g' = g-1-((g-1-t) mod T), i.e.
+            # age a = g-g' in [1, T]; ages <= n live in the ring (the
+            # cache column there is T-steps stale), ages up to the
+            # slot's extent cnt+n are real, and the prompt-padding gap
+            # (the ppad-plen columns just below the true prompt) is
+            # excluded forever.
+            T = state["self_k"].shape[-1]
+            n = state["ring_n"]
+            g = state["gstep"] + n
+            age = jnp.mod(g - 1 - jnp.arange(T), T) + 1       # (T,)
+            ext = state["cnt"] + n                             # (S+1,)
+            pad_hi = ext - state["plen"]
+            pad_lo = ext - state["ppad"]
+            valid = ((age[None, :] > n) & (age[None, :] <= ext[:, None])
+                     & ~((age[None, :] > pad_lo[:, None])
+                         & (age[None, :] <= pad_hi[:, None])))
+            ring = {"k": state["ring_k"], "v": state["ring_v"],
+                    "n": n}
+            w_idx = jnp.arange(self.ring_width)[None, None, None, :]
+            mask_ring = ((w_idx < n)
+                         & (w_idx >= state["born"][:, None, None, None]))
+            logits, cache, ring = W.decode_step_ring(
+                params, dims, tok, cache, ring,
+                mask_cache=valid[:, None, None, :], mask_ring=mask_ring)
+            cache.update(ring_k=ring["k"], ring_v=ring["v"], ring_n=ring["n"])
 
             is_ts = tok >= cfg.ts_begin
             hit_cap = still & (state["n_sampled"] + 1 >= self.max_new)
             new = dict(state)
             new.update(cache)
-            if not ring_mode:
-                # don't advance pos for inactive slots (keeps their pages
-                # frozen — the legacy path's validity mask is pos-derived).
-                # Circular mode advances EVERYONE: validity is age-derived
-                # (cnt/plen/ppad), pos only feeds position embeddings, and
-                # uniform advancement keeps every slot's column = the global
-                # cursor; inactive slots accumulate masked garbage in
-                # soon-to-be-recycled pages (admission resets everything).
-                new["pos"] = jnp.where(state["active"], cache["pos"], state["pos"])
             new["last_logits"] = logits
             new["tokens"] = tokens
             new["n_sampled"] = state["n_sampled"] + still.astype(jnp.int32)
@@ -492,9 +488,25 @@ class SlotPool:
             cursor extent, and inactive slots' pages just age out."""
             z = jnp.zeros((), jnp.int32)
             at = jnp.mod(state["gstep"], state["self_k"].shape[-1])
-            rk = jnp.swapaxes(state["ring_k"], -1, -2).astype(state["self_k"].dtype)
-            rv = jnp.swapaxes(state["ring_v"], -1, -2).astype(state["self_v"].dtype)
-            return {**state,
+            if self.self_int8:
+                # flush-time quantization (r4): ONE batched quantize of the
+                # W bf16 ring rows + a second uniform DUS for the per-token
+                # scales — the write-time path paid this every step and
+                # measured speed-neutral; amortized W-fold it is pure win
+                rkq, rks = W._quantize_kv_rows(state["ring_k"])
+                rvq, rvs = W._quantize_kv_rows(state["ring_v"])
+                rk = jnp.swapaxes(rkq, -1, -2)
+                rv = jnp.swapaxes(rvq, -1, -2)
+                extra = {
+                    "self_k_scale": jax.lax.dynamic_update_slice(
+                        state["self_k_scale"], rks, (z, z, z, at)),
+                    "self_v_scale": jax.lax.dynamic_update_slice(
+                        state["self_v_scale"], rvs, (z, z, z, at))}
+            else:
+                rk = jnp.swapaxes(state["ring_k"], -1, -2).astype(state["self_k"].dtype)
+                rv = jnp.swapaxes(state["ring_v"], -1, -2).astype(state["self_v"].dtype)
+                extra = {}
+            return {**state, **extra,
                     "self_k": jax.lax.dynamic_update_slice(
                         state["self_k"], rk, (z, z, z, z, at)),
                     "self_v": jax.lax.dynamic_update_slice(
@@ -505,13 +517,6 @@ class SlotPool:
                     "ring_n": jnp.zeros((), jnp.int32)}
 
         if k == 1:
-            if not ring_mode:
-                def step1_legacy(params, suppress, state):
-                    state, _fin = step(params, suppress, state)
-                    return state, pack_meta(state)
-
-                return jax.jit(step1_legacy, donate_argnums=(2,))
-
             def step1(params, suppress, state):
                 state, _fin = step(params, suppress, state)
                 if do_flush:
@@ -531,7 +536,7 @@ class SlotPool:
                 return s2, ()
 
             state, _ = jax.lax.scan(body, state, None, length=k)
-            if ring_mode and do_flush:
+            if do_flush:
                 state = flush(state)
             return state, pack_meta(state)
 
@@ -640,11 +645,8 @@ class SlotPool:
         remote-relay backend every fetch costs a round trip, which dominated
         the serving benchmark. The host loop retires every `poll_interval`
         dispatches instead (a finished slot just idles frozen briefly)."""
-        ring_mode = not self.self_int8
-        do_flush = False
-        if ring_mode:
-            k = min(k, self.ring_width - self.ring_fill)
-            do_flush = self.ring_fill + k == self.ring_width
+        k = min(k, self.ring_width - self.ring_fill)
+        do_flush = self.ring_fill + k == self.ring_width
         fn = self._step_fns.get((k, do_flush))
         if fn is None:
             fn = self._step_fns[(k, do_flush)] = self._build_step(k, do_flush)
@@ -653,12 +655,11 @@ class SlotPool:
         self.total_steps += k
         self._last_meta = (meta, self.step_calls)
         self.occupancy_sum += len(self.jobs)
-        if ring_mode:
-            if do_flush:
-                self.ring_fill = 0
-                self.gstep_host += self.ring_width  # mirrors state["gstep"]
-            else:
-                self.ring_fill += k
+        if do_flush:
+            self.ring_fill = 0
+            self.gstep_host += self.ring_width  # mirrors state["gstep"]
+        else:
+            self.ring_fill += k
         if not retire:
             return []
         return self.retire_from(*self._last_meta)
@@ -757,6 +758,7 @@ class StreamingDecodeServer:
 
             self.pool = BeamSlotPool(engine, n_slots, t_mel, max_new,
                                      beam_size=beam_size, int8_kv=int8_kv,
+                                     self_int8=self_int8,
                                      max_prompt=max_prompt, mesh=mesh)
         else:
             self.pool = SlotPool(engine, n_slots, t_mel, max_new,

@@ -69,6 +69,35 @@ def test_beam_pool_matches_window_beam(engine, rng):
         server.stop()
 
 
+def test_beam_pool_int8_pages_match_fp(engine, rng):
+    """r4: int8 SELF-KV beam pages (flush-time quantized, ancestor
+    indirection unchanged — the one-hot reorders move the int32 table,
+    never the int8 bytes) agree with the bf16 beam pool on the best
+    hypothesis' first tokens, and the state carries the per-token scale
+    tensors."""
+    import jax.numpy as jnp
+
+    fp = StreamingDecodeServer(engine, n_slots=2, t_mel=512, max_new=16,
+                               beam_size=3)
+    q8 = StreamingDecodeServer(engine, n_slots=2, t_mel=512, max_new=16,
+                               beam_size=3, int8_kv=True, self_int8=True)
+    try:
+        assert q8.pool.state["self_k"].dtype == jnp.int8
+        assert q8.pool.state["cross_k"].dtype == jnp.int8
+        assert q8.pool.state["self_k_scale"].ndim == 4  # (L, R, H, T)
+        assert q8.pool.state["ring_k"].dtype == engine.dtype  # bf16/f32 ring
+        mel = _mel(engine, rng, 0.1)
+        r_fp = fp.submit(mel).result(timeout=300)
+        r_q8 = q8.submit(mel).result(timeout=300)
+        assert r_q8["n_sampled"] > 0
+        tok = engine.tokenizer
+        assert r_q8["tokens"][0] >= tok.ts_begin  # rule-compliant opener
+        assert r_fp["tokens"][0] == r_q8["tokens"][0]
+    finally:
+        fp.stop()
+        q8.stop()
+
+
 def test_beam_pool_slot_isolation(engine, rng):
     """Same window, different pool company / slot -> identical best beam."""
     server = StreamingDecodeServer(engine, n_slots=2, t_mel=512, max_new=12,

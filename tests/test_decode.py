@@ -221,6 +221,32 @@ def test_transcribe_window_int8_self_kv(tiny_model, rng):
     assert (tokens[:, 0] == ref_tok[:, 0]).all()
 
 
+def test_ring_decode_int8_self_kv_matches_write_time(tiny_model, rng):
+    """r4 int8 lever: flush-time-quantized int8 circular/fill pages
+    (kv_write="ring", the default) agree with the write-time-quantized
+    per-slot path (kv_write="dus") on the sampled token stream — the
+    quantized VALUES are identical (same rows, same per-token scales); the
+    only numeric difference is that in-chunk rows are attended at full
+    precision before their flush, which can only REDUCE error vs the
+    write-time path."""
+    params, dims = tiny_model
+    mel = jnp.asarray(rng.standard_normal((2, 3000, dims.n_mels)), jnp.float32)
+    prompt = jnp.asarray([TOK.sot_sequence("en")] * 2, jnp.int32)
+    kw = dict(temperature=jnp.zeros((2,), jnp.float32), key=jax.random.PRNGKey(0),
+              self_kv_int8=True)
+    ring = D.transcribe_window(params, dims, CFG, SUPPRESS, mel, prompt,
+                               kv_write="ring", **kw)
+    dus = D.transcribe_window(params, dims, CFG, SUPPRESS, mel, prompt,
+                              kv_write="dus", **kw)
+    rt, dt = np.asarray(ring["tokens"]), np.asarray(dus["tokens"])
+    rn, dn = np.asarray(ring["n_sampled"]), np.asarray(dus["n_sampled"])
+    for b in range(2):
+        if rn[b] > 0:
+            assert rt[b, 0] >= TOK.ts_begin
+        assert rt[b, 0] == dt[b, 0]
+    assert np.isfinite(np.asarray(ring["avg_logprob"])).all()
+
+
 def test_decode_step_int8_self_kv_matches_bf16(tiny_model, rng):
     """Layer-exact check: logits from the int8 self-KV path stay within
     quantization tolerance of the full-precision path across several steps."""

@@ -91,9 +91,10 @@ def test_stream_chunks_via_slot_pool(engine, rng):
 
 
 def test_pool_int8_kv_matches_fp(engine, rng):
-    """int8 pools (cross per-channel; self per-token via self_int8, which
-    takes the legacy per-slot write path) produce rule-compliant output and
-    agree with the fp (ring-mode) pool on the first sampled tokens."""
+    """int8 pools (cross per-channel; self per-token via self_int8 — since
+    r4 the int8 self pages ride the SAME ring/circular path: the bf16 ring
+    quantizes at flush) produce rule-compliant output and agree with the fp
+    pool on the first sampled tokens."""
     fp = StreamingDecodeServer(engine, n_slots=2, max_new=12)
     q8 = StreamingDecodeServer(engine, n_slots=2, max_new=12, int8_kv=True,
                                self_int8=True)
@@ -102,7 +103,10 @@ def test_pool_int8_kv_matches_fp(engine, rng):
 
         assert q8.pool.state["cross_k"].dtype == jnp.int8
         assert q8.pool.state["self_k"].dtype == jnp.int8
-        assert "ring_k" not in q8.pool.state       # legacy write path
+        assert q8.pool.state["self_k_scale"].shape == \
+            q8.pool.state["self_k"].shape[:3] + q8.pool.state["self_k"].shape[-1:]
+        assert "ring_k" in q8.pool.state           # int8 rides the ring too
+        assert q8.pool.state["ring_k"].dtype == engine.dtype  # bf16 ring
         assert "ring_k" in fp.pool.state           # ring write path
         mel = _mel(engine, rng, 0.1)
         r_fp = fp.submit(mel).result(timeout=300)
@@ -189,6 +193,28 @@ def test_pool_conditioned_prompt_matches_window_path(engine, rng):
         assert r_cond["n_sampled"] == win["n_sampled"]
     finally:
         server.stop()
+
+
+def test_pool_int8_conditioned_wrap_placement(engine, rng):
+    """int8 circular pages + conditioning: the wrap-aware admission
+    placement must rotate the (L,n,H,T) per-token SCALE tensors alongside
+    their int8 columns (P=64 > ring_width=16 exercises the wrap-fold
+    branch on both ranks), and the decode still matches the bf16 pool's
+    first token."""
+    fp = StreamingDecodeServer(engine, n_slots=2, max_new=12, max_prompt=64)
+    q8 = StreamingDecodeServer(engine, n_slots=2, max_new=12, max_prompt=64,
+                               int8_kv=True, self_int8=True)
+    try:
+        mel = _mel(engine, rng, 0.1)
+        ctx = [100 + i for i in range(40)]
+        r_fp = fp.submit(mel, context=ctx).result(timeout=300)
+        r_q8 = q8.submit(mel, context=ctx).result(timeout=300)
+        assert any(k[1] == 64 for k in q8.pool._admit_fns)
+        if r_fp["n_sampled"] and r_q8["n_sampled"]:
+            assert r_fp["tokens"][0] == r_q8["tokens"][0]
+    finally:
+        fp.stop()
+        q8.stop()
 
 
 def test_stream_state_carries_context_into_pool(engine, rng):
