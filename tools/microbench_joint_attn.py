@@ -36,6 +36,11 @@ from speaksense_tpu.ops.joint_attn import (  # noqa: E402
 SHAPES = {
     "pool": dict(B=65, H=20, Dh=64, T=128, W=16, L=32),
     "window": dict(B=64, H=20, Dh=64, T=256, W=16, L=32),
+    # compile-time probe: the full-shape Mosaic compile exceeded a 25-min
+    # timebox on the remote compiler (2026-08-20); small shapes bound
+    # whether compile time scales with the (B,H) grid and let a rejection
+    # cite a per-byte measurement instead of a timeout
+    "small": dict(B=8, H=20, Dh=64, T=128, W=16, L=4),
 }
 
 
