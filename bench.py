@@ -164,9 +164,12 @@ def bench_serve(model_name: str, emit: bool = True, **overrides):
     # tests/test_accuracy.py). Opt-in pending WER validation on real audio.
     int8_w = knob("BENCH_SERVE_INT8W", "0", bool)
     # int8 SELF-KV circular pages (r4): the bf16 ring quantizes at flush —
-    # per-token scales, folded exactly — halving the archived-page reads,
-    # the largest byte stream of the pool step
-    int8_self = knob("BENCH_SERVE_INT8SELF", "0", bool)
+    # per-token scales, folded exactly — halving the archived-page reads.
+    # Default ON for BEAM pools (measured +15%: 39.6 -> 45.6x at 64 streams,
+    # paced p95 3.86 -> 3.71 s at 32; beam reads K=5 self pages per slot so
+    # the page bytes dominate), OFF for greedy pools (measured wash at
+    # t_text=128 — PERF.md round-4 int8 self-KV section).
+    int8_self = knob("BENCH_SERVE_INT8SELF", "1" if beam > 1 else "0", bool)
     fallback = knob("BENCH_SERVE_FALLBACK", "0", bool)
     thresh = {} if (beam <= 1 or fallback) else dict(
         compression_ratio_thold=1e9, logprob_thold=-1e9, entropy_thold=-1.0)

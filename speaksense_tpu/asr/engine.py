@@ -771,7 +771,7 @@ class WhisperEngine(AsrEngine):
     def enable_slot_serving(self, n_slots: int | None = None,
                             t_mel: int = 512, max_new: int = 96,
                             int8_kv: bool | None = None,
-                            self_int8: bool = False,
+                            self_int8: bool | None = None,
                             max_prompt: int = 16,
                             beam_size: int | None = None) -> None:
         """Route streaming chunks through the token-level slot pool
@@ -810,6 +810,13 @@ class WhisperEngine(AsrEngine):
         # batcher (BASELINE config 4: 64 streams, paged KV, beam=5)
         if beam_size is None:
             beam_size = self.config.beam_size or 1
+        # int8 self-KV pages default ON for beam pools: the beam step reads
+        # K=5 self pages per slot so page bytes dominate (measured +15%
+        # serve RTF and the only way >32 slots fits HBM); greedy pools stay
+        # bf16 (measured wash at t_text=128). Drift bounds:
+        # tests/test_accuracy.py::test_int8_self_kv_ring_drift_quantified.
+        if self_int8 is None:
+            self_int8 = beam_size > 1
         self._slot_server = StreamingDecodeServer(
             self, n_slots=n_slots,
             t_mel=t_mel, max_new=max_new,

@@ -774,6 +774,10 @@ class StreamingDecodeServer:
         self.steps_per_dispatch = max(1, steps_per_dispatch)
         self._queue: "queue.Queue[_StreamJob]" = queue.Queue()
         self._stop = threading.Event()
+        # set to the fatal exception when the pool could not be rebuilt
+        # after a failed step (e.g. allocation failure) — submissions are
+        # then rejected instead of queueing forever on a dead loop
+        self._dead: Exception | None = None
         self._thread = threading.Thread(target=self._loop, name="slot-server", daemon=True)
         self._thread.start()
         self.steps_run = 0
@@ -802,6 +806,8 @@ class StreamingDecodeServer:
                task: str = "transcribe",
                context: list[int] | None = None) -> Future:
         """context: previous-text conditioning tokens (see _build_prompt)."""
+        if self._dead is not None:
+            raise RuntimeError("slot server dead") from self._dead
         job = _StreamJob(np.asarray(mel),
                          self._build_prompt(language, task, context))
         self._queue.put(job)
@@ -816,6 +822,8 @@ class StreamingDecodeServer:
         denoise chain — runs inside the admission program, so the audio
         uploads once and nothing round-trips device<->host.
         Audio is padded/truncated to the pool's t_mel bucket."""
+        if self._dead is not None:
+            raise RuntimeError("slot server dead") from self._dead
         from speaksense_tpu.audio import mel as MEL
 
         n = self.pool.t_mel * MEL.HOP_LENGTH
@@ -928,12 +936,36 @@ class StreamingDecodeServer:
                     # (continuing from a deleted buffer raises forever) and
                     # fail queued-but-unadmitted jobs too — their streams
                     # would otherwise block on future.result() for good
-                    self.pool.reset(e)
                     for job in pending:
                         if not job.future.done():
                             job.future.set_exception(e)
                     pending.clear()
                     self._lag_meta = None
+                    try:
+                        self.pool.reset(e)
+                    except Exception as e2:
+                        # reset itself failed (e.g. OOM: fresh pages cannot
+                        # allocate either). Letting it propagate would kill
+                        # this thread with jobs still unresolved — every
+                        # stream would then hang on future.result() forever
+                        # (observed: beam pool OOM deadlocked the server).
+                        # Declare the server dead: fail EVERYTHING queued,
+                        # reject new submissions, and exit the loop.
+                        log.error("pool reset failed; slot server dead: %s",
+                                  e2, exc_info=True)
+                        self._dead = e2
+                        for job in list(self.pool.jobs.values()):
+                            if not job.future.done():
+                                job.future.set_exception(e2)
+                        self.pool.jobs.clear()
+                        while True:
+                            try:
+                                j = self._queue.get_nowait()
+                            except queue.Empty:
+                                break
+                            if not j.future.done():
+                                j.future.set_exception(e2)
+                        return
 
     def stop(self) -> None:
         self._stop.set()

@@ -513,6 +513,36 @@ def test_pool_reset_fails_jobs_and_rebuilds():
     assert pool.state_healthy()
 
 
+def test_unrecoverable_step_failure_kills_server_not_streams(engine, rng):
+    """When the pool step fails AND reset cannot rebuild the state (e.g.
+    allocation failure — observed: beam-pool OOM), the server must fail
+    every queued/registered future and reject new submissions instead of
+    letting the loop thread die with jobs unresolved (which deadlocked the
+    whole gRPC server: settlers block on future.result() with no timeout)."""
+    server = StreamingDecodeServer(engine, n_slots=2, max_new=8)
+    try:
+        def boom(*a, **k):
+            raise RuntimeError("step boom")
+
+        def reset_boom(*a, **k):
+            raise RuntimeError("reset boom (oom)")
+
+        server.pool.step = boom
+        server.pool.reset = reset_boom
+        fut = server.submit(_mel(engine, rng))
+        with pytest.raises(RuntimeError):
+            fut.result(timeout=120)
+        server._thread.join(timeout=30)
+        assert not server._thread.is_alive()
+        assert server._dead is not None
+        with pytest.raises(RuntimeError, match="slot server dead"):
+            server.submit(_mel(engine, rng))
+        with pytest.raises(RuntimeError, match="slot server dead"):
+            server.submit_audio(np.zeros(16000, np.float32))
+    finally:
+        server.stop()
+
+
 def test_conditioned_pipelining_trickle_parity(engine, rng):
     """VERDICT r2 item 8 parity criterion: when a conditioned stream is NOT
     backlogged (each chunk settles before the next is submitted), the
