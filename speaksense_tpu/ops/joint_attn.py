@@ -13,6 +13,14 @@ without materializing the concatenated logits — so that is what this
 kernel fuses, and the microbench (tools/microbench_joint_attn.py) decides
 adopt-or-reject at the production pool/window shapes.
 
+MEASURED AND REJECTED (2026-08-20, PERF.md "Pallas fused joint decode
+attention" row): pool shape (B=65,H=20,Dh=64,T=128,W=16, 32 scanned
+layers) XLA 34.55 ms vs this kernel 47.24 ms — 37% slower. The (B,H)
+grid's per-step work is a (1,Dh)x(Dh,T) dot — too little compute per
+DMA to hide latency, and Mosaic cannot lower the H-batched dot_general
+that would fatten it. Kept in history per the kernel policy
+(ops/flash.py:4-8); deleted from the tree in the follow-up commit.
+
 Layout mirrors the XLA path: q/k_new/v_new (B,H,1,Dh); cache (B,H,Dh,T)
 time-minor; ring (B,H,W,Dh) row-major; boolean masks (B,T) / (B,W)
 (the XLA path's (B,1,1,T) masks broadcast over heads — this kernel takes
@@ -37,8 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(q_ref, kc_ref, vc_ref, mc_ref, kr_ref, vr_ref, mr_ref,
             kn_ref, vn_ref, out_ref):
     # per grid step (one batch row x one head):
-    #   q/kn/vn (1,1,1,Dh); kc/vc (1,1,Dh,T); mc (1,T); kr/vr (1,1,W,Dh);
-    #   mr (1,W); out (1,1,1,Dh)
+    #   q/kn/vn (1,1,1,Dh); kc/vc (1,1,Dh,T); kr/vr (1,1,W,Dh);
+    #   out (1,1,1,Dh). The masks ride as FULL (B,T)/(B,W) float32 bias
+    #   arrays (0 keep / -1e30 drop) — a (1,T) block has a sublane dim of
+    #   1, which the TPU lowering rejects (must be 8-divisible or the full
+    #   array dim), and full bias arrays are only ~35 KB of VMEM.
+    b = pl.program_id(0)
     q = q_ref[0, 0]                                # (1, Dh)
     kn = kn_ref[0, 0]                              # (1, Dh)
     vn = vn_ref[0, 0]
@@ -46,19 +58,19 @@ def _kernel(q_ref, kc_ref, vc_ref, mc_ref, kr_ref, vr_ref, mr_ref,
     vc = vc_ref[0, 0]
     kr = kr_ref[0, 0]                              # (W, Dh)
     vr = vr_ref[0, 0]
-    mc = mc_ref[0]                                 # (T,)
-    mr = mr_ref[0]                                 # (W,)
+    mc = mc_ref[b]                                 # (T,) additive bias
+    mr = mr_ref[b]                                 # (W,)
     scale = q.shape[-1] ** -0.5
     # cache logits: (1, T) = q @ kc — plain 2D dot, no batch dims
     lc = jax.lax.dot_general(
         q, kc, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
-    lc = jnp.where(mc[None, :], lc, -1e30)
+    lc = lc + mc[None, :]
     # ring logits: (1, W) = q @ kr^T (contract Dh on both)
     lr = jax.lax.dot_general(
         q, kr, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
-    lr = jnp.where(mr[None, :], lr, -1e30)
+    lr = lr + mr[None, :]
     # current column: scalar logit
     ls = jnp.sum(q.astype(jnp.float32) * kn.astype(jnp.float32),
                  axis=-1, keepdims=True) * scale   # (1, 1)
@@ -95,6 +107,10 @@ def joint_decode_attention_ring_pallas(q, k_cache, v_cache, mask_cache,
     T = k_cache.shape[-1]
     W = k_ring.shape[-2]
     grid = (B, H)
+    # bool masks -> additive float bias OUTSIDE the kernel (XLA fuses the
+    # select into the producers); passed whole per grid step (see _kernel)
+    bias_c = jnp.where(mask_cache, 0.0, -1e30).astype(jnp.float32)
+    bias_r = jnp.where(mask_ring, 0.0, -1e30).astype(jnp.float32)
     out = pl.pallas_call(
         _kernel,
         grid=grid,
@@ -105,13 +121,13 @@ def joint_decode_attention_ring_pallas(q, k_cache, v_cache, mask_cache,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Dh, T), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T), lambda b, h: (b, 0),
+            pl.BlockSpec((B, T), lambda b, h: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, W, Dh), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, W, Dh), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W), lambda b, h: (b, 0),
+            pl.BlockSpec((B, W), lambda b, h: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, Dh), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -122,7 +138,7 @@ def joint_decode_attention_ring_pallas(q, k_cache, v_cache, mask_cache,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, 1, Dh), q.dtype),
     )(
-        q, k_cache, v_cache, mask_cache, k_ring, v_ring, mask_ring,
+        q, k_cache, v_cache, bias_c, k_ring, v_ring, bias_r,
         k_new, v_new,
     )
     return out
