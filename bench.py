@@ -720,10 +720,11 @@ def main():
     prompt_len = 3
 
     int8_kv = os.environ.get("BENCH_INT8_KV", "1") not in ("", "0", "false")
-    # off by default: measured 113.7x vs 119.1x bf16 self-KV at B=32 (PERF.md) —
-    # the byte saving loses to quantize/select overhead; it exists for slot-pool
-    # memory headroom (64 large-v3 slots), not window-batch speed
-    int8_self_kv = os.environ.get("BENCH_INT8_SELF_KV", "0") not in ("", "0", "false")
+    # ON by default since r4: flush-time quantization (the write-time path
+    # measured -4.5% and was deleted) rides the bf16 ring and halves the
+    # archived-page reads — +2.9% at the headline shape (277.0 vs 269.3x,
+    # PERF.md "int8 self-KV rides the ring"). Production: --int8-self-kv.
+    int8_self_kv = os.environ.get("BENCH_INT8_SELF_KV", "1") not in ("", "0", "false")
     kv_write = os.environ.get("BENCH_KV_WRITE", "ring")  # 25.5->14.3 ms/step (PERF.md)
 
     def window_step(params, mel, prompt):

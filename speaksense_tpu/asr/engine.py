@@ -321,12 +321,19 @@ class WhisperEngine(AsrEngine):
             n_audio_ctx = min(t_mel // 2, self.dims.n_audio_ctx)
 
             cross_int8 = self.config.cross_kv_int8
+            # int8 self-KV pages only when the token budget spans >1
+            # 128-lane page (t_cap >= 256): at t_text=128 the flush
+            # quantize offsets the page-read saving (measured wash —
+            # PERF.md round-4 int8 self-KV section)
+            self_int8 = (self.config.self_kv_int8
+                         and prompt_len + max_new > 128)
 
             def run(params, suppress, mel_f32, prompt, prompt_len, sot_index, temps, key):
                 return D.transcribe_window(params, self.dims, cfg, suppress, mel_f32,
                                            prompt, temps, key, sot_index=sot_index,
                                            n_audio_ctx=n_audio_ctx, prompt_len=prompt_len,
-                                           cross_kv_int8=cross_int8)
+                                           cross_kv_int8=cross_int8,
+                                           self_kv_int8=self_int8)
 
             fn = jax.jit(run)
             self._jit_cache[key] = fn

@@ -80,6 +80,13 @@ class EngineConfig:
     # numerics
     compute_dtype: str = "bfloat16"
     cross_kv_int8: bool = False     # int8 cross-attention KV (2x less decode HBM traffic)
+    # int8 SELF-attention KV pages for full-window decodes, quantized at
+    # ring-flush time (measured +2.9% at the B=64 large-v3 headline shape;
+    # drift bounds: tests/test_accuracy.py). Applied only when the window's
+    # token budget spans more than one 128-lane page — at t_text=128 the
+    # flush-quantize cost offsets the page-read saving (measured wash).
+    # Beam slot pools default int8 pages independently (enable_slot_serving).
+    self_kv_int8: bool = False
     weights_int8: bool = False      # int8 decoder block weights (per-out-channel
     # scales; +4.7% ring decode). Opt-in until the executable promotion gate
     # passes on real speech: tools/wer_check.py --compare-int8-weights, which

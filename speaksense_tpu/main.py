@@ -170,6 +170,11 @@ def main() -> None:
                              "with --int8-kv is the measured-best large-v3 config)")
     parser.add_argument("--int8-kv", action="store_true",
                         help="int8 cross-attention KV (2x less decode HBM traffic)")
+    parser.add_argument("--int8-self-kv", action="store_true",
+                        help="int8 self-attention KV pages for full-window "
+                             "decodes, quantized at ring flush (+2.9%% at "
+                             "the B=64 large-v3 shape; auto-skipped for "
+                             "short windows where it measured a wash)")
     parser.add_argument("--int8-weights", action="store_true",
                         help="int8 decoder block weights (per-out-channel scales)")
     parser.add_argument("--beam-size", type=int, default=None,
@@ -212,6 +217,8 @@ def main() -> None:
         config.engine.max_batch_size = args.batch
     if args.int8_kv:
         config.engine.cross_kv_int8 = True
+    if args.int8_self_kv:
+        config.engine.self_kv_int8 = True
     if args.int8_weights:
         config.engine.weights_int8 = True
     if args.beam_size:

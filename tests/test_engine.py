@@ -235,3 +235,38 @@ def test_engine_int8_weights_init_idempotent():
     assert qkv2["wq"].dtype == jnp.int8
     assert qkv2["ws"].dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(qkv["wq"]), np.asarray(qkv2["wq"]))
+
+
+def test_self_kv_int8_window_gating(rng, monkeypatch):
+    """EngineConfig.self_kv_int8 (--int8-self-kv) plumbs into the window
+    program ONLY when the token budget spans more than one 128-lane page:
+    at t_text=128 the flush-quantize cost offsets the page-read saving
+    (measured wash — PERF.md round-4), at t_cap>=256 it measured +2.9%."""
+    import jax
+
+    import speaksense_tpu.models.decode as D_mod
+
+    captured = []
+    orig = D_mod.transcribe_window
+
+    def spy(*a, **kw):
+        captured.append(bool(kw.get("self_kv_int8", False)))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(D_mod, "transcribe_window", spy)
+
+    params = init_params(TINY_DIMS, jax.random.PRNGKey(0))
+    tok = Tokenizer.synthetic(TINY_DIMS.n_vocab)
+    eng = WhisperEngine(params, TINY_DIMS, tok,
+                        config=EngineConfig(compute_dtype="float32",
+                                            best_of=1, self_kv_int8=True),
+                        name="selfint8-test")
+    mels = np.asarray(eng.compute_mel(
+        (rng.standard_normal(16000) * 0.1).astype(np.float32), pad_to=3000))
+    # budget 3 + 8 <= 128: one page — int8 pages must stay OFF
+    eng.decode_windows(mels, "en", max_new_tokens=8)
+    assert captured == [False]
+    # budget 3 + 140 > 128: two pages — int8 pages engage
+    captured.clear()
+    eng.decode_windows(mels, "en", max_new_tokens=140)
+    assert captured == [True]
