@@ -171,7 +171,14 @@ def bench_serve(model_name: str, emit: bool = True, **overrides):
     # t_text=128 — PERF.md round-4 int8 self-KV section).
     int8_self = knob("BENCH_SERVE_INT8SELF", "1" if beam > 1 else "0", bool)
     fallback = knob("BENCH_SERVE_FALLBACK", "0", bool)
-    thresh = {} if (beam <= 1 or fallback) else dict(
+    # BENCH_SERVE_NOTHRESH=1 neutralizes the quality-fallback thresholds for
+    # GREEDY serving too (beam pools neutralize by default, see above). Used
+    # to separate engine throughput from the random-weight retry artifact:
+    # a model whose random decode fails the thresholds pays the full serial
+    # temperature ladder on every chunk (distil's 2-layer random output
+    # trips it ~2/3 of the time; real speech rarely retries).
+    no_thresh = knob("BENCH_SERVE_NOTHRESH", "0", bool)
+    thresh = {} if ((beam <= 1 or fallback) and not no_thresh) else dict(
         compression_ratio_thold=1e9, logprob_thold=-1e9, entropy_thold=-1.0)
     # window-batcher coalescing width (beam serving is batch-bound: B=8 ->
     # 14x, larger batches amortize the per-step weight reads over more rows)
