@@ -178,6 +178,12 @@ def bench_serve(model_name: str, emit: bool = True, **overrides):
     # temperature ladder on every chunk (distil's 2-layer random output
     # trips it ~2/3 of the time; real speech rarely retries).
     no_thresh = knob("BENCH_SERVE_NOTHRESH", "0", bool)
+    # pool prompt budget: 16 = plain SOT (conditioning off, the default);
+    # 64 = pooled streams carry previous-text conditioning (whisper.cpp
+    # no_context=false; `--slot-prompt 64` in production). Conditioning
+    # serializes each stream's chunks (chunk n+1's prompt needs chunk n's
+    # text), so this measures the quality mode's real throughput cost.
+    max_prompt = knob("BENCH_SERVE_PROMPT", "16", int)
     thresh = {} if ((beam <= 1 or fallback) and not no_thresh) else dict(
         compression_ratio_thold=1e9, logprob_thold=-1e9, entropy_thold=-1.0)
     # window-batcher coalescing width (beam serving is batch-bound: B=8 ->
@@ -203,7 +209,7 @@ def bench_serve(model_name: str, emit: bool = True, **overrides):
         engine.enable_slot_serving(
             n_slots=beam_slots if beam > 1 else n_streams, t_mel=512,
             max_new=max_new, int8_kv=True, self_int8=int8_self,
-            beam_size=beam)
+            beam_size=beam, max_prompt=max_prompt)
         engine._slot_server.steps_per_dispatch = serve_k
     # production shape (main.build_engine): the gRPC server always sees the
     # BatchedEngine wrapper, which forwards the slot-pool fast paths
@@ -352,6 +358,7 @@ def bench_serve(model_name: str, emit: bool = True, **overrides):
                      if beam > 1 else "")
                   + ("int8 weights, " if int8_w else "")
                   + ("int8 self-KV, " if int8_self else "")
+                  + (f"conditioned prompt={max_prompt}, " if max_prompt > 16 else "")
                   + f"denoise={'on' if denoise else 'off'}, rules+stitching on)",
         "value": round(rtf, 2),
         "unit": "x_realtime",
@@ -376,6 +383,7 @@ def bench_serve(model_name: str, emit: bool = True, **overrides):
             "beam": beam, "int8_w": int8_w, "int8_self": int8_self,
             "repeats": repeats,
             "beam_slots": beam_slots if (beam > 1 and use_slots) else None,
+            "max_prompt": max_prompt,
             "admit_buckets": os.environ.get("SPEAKSENSE_ADMIT_BUCKETS", "1,8"),
             "max_inflight": os.environ.get("SPEAKSENSE_MAX_INFLIGHT", "8"),
         },
