@@ -473,6 +473,40 @@ def _quantize_kv_rows(x: jax.Array):
     return q, scale[..., 0]
 
 
+def flush_ring_rows(ring_k: jax.Array, ring_v: jax.Array, page_dtype,
+                    at: jax.Array, k_scale: jax.Array | None = None,
+                    v_scale: jax.Array | None = None):
+    """The ONE flush-time quantize-or-cast of bf16 ring rows, shared by
+    flush_ring (full windows), SlotPool and BeamSlotPool (tune-or-delete
+    review: the pattern was copy-pasted three times and a future change to
+    the quantization would silently diverge the three numerics).
+
+    ring_k/ring_v (..., W, Dh) row-major -> returns (rk, rv, extra):
+    rk/rv (..., Dh, W) page-layout blocks for the caller's uniform page
+    DUS at column `at`; extra = {"self_k_scale": ..., "self_v_scale": ...}
+    scale tensors already DUS'd at (0,0,0,at) when page_dtype is int8
+    (flush-time per-token quantization via _quantize_kv_rows — the
+    write-time path paid quantize+scale-write EVERY step and measured
+    speed-neutral; amortized W-fold at the flush it wins, PERF.md), else
+    {} and a plain cast."""
+    z = jnp.zeros((), jnp.int32)
+    if page_dtype == jnp.int8:
+        rkq, rks = _quantize_kv_rows(ring_k)   # (..., W, Dh), (..., W)
+        rvq, rvs = _quantize_kv_rows(ring_v)
+        rk = jnp.swapaxes(rkq, -1, -2)
+        rv = jnp.swapaxes(rvq, -1, -2)
+        extra = {
+            "self_k_scale": jax.lax.dynamic_update_slice(
+                k_scale, rks, (z, z, z, at)),
+            "self_v_scale": jax.lax.dynamic_update_slice(
+                v_scale, rvs, (z, z, z, at))}
+    else:
+        rk = jnp.swapaxes(ring_k, -1, -2).astype(page_dtype)
+        rv = jnp.swapaxes(ring_v, -1, -2).astype(page_dtype)
+        extra = {}
+    return rk, rv, extra
+
+
 def _quantize_kv_pages(x: jax.Array):
     """Per-token int8 quantization of TIME-MINOR KV pages (the Dh axis is
     second-minor): x (..., Dh, T) -> (int8 (..., Dh, T), f32 (..., T))."""
@@ -902,26 +936,15 @@ def flush_ring(cache: Params, ring: Params) -> tuple[Params, Params]:
     speed-neutral (PERF.md int8 self-KV row)."""
     z = jnp.zeros((), jnp.int32)
     at = cache["gen_base"] + cache["fill"]
-    int8_pages = cache["self_k"].dtype == jnp.int8
-    if int8_pages:
-        rkq, rks = _quantize_kv_rows(ring["k"])     # (L,B,H,W,Dh), (L,B,H,W)
-        rvq, rvs = _quantize_kv_rows(ring["v"])
-        rk = jnp.swapaxes(rkq, -1, -2)
-        rv = jnp.swapaxes(rvq, -1, -2)
-    else:
-        rk = jnp.swapaxes(ring["k"], -1, -2).astype(cache["self_k"].dtype)
-        rv = jnp.swapaxes(ring["v"], -1, -2).astype(cache["self_v"].dtype)
-    cache = {**cache,
+    rk, rv, extra = flush_ring_rows(
+        ring["k"], ring["v"], cache["self_k"].dtype, at,
+        cache.get("self_k_scale"), cache.get("self_v_scale"))
+    cache = {**cache, **extra,
              "self_k": jax.lax.dynamic_update_slice(
                  cache["self_k"], rk, (z, z, z, z, at)),
              "self_v": jax.lax.dynamic_update_slice(
                  cache["self_v"], rv, (z, z, z, z, at)),
              "fill": cache["fill"] + ring["n"]}
-    if int8_pages:
-        cache["self_k_scale"] = jax.lax.dynamic_update_slice(
-            cache["self_k_scale"], rks, (z, z, z, at))
-        cache["self_v_scale"] = jax.lax.dynamic_update_slice(
-            cache["self_v_scale"], rvs, (z, z, z, at))
     return cache, {**ring, "n": jnp.zeros((), jnp.int32)}
 
 

@@ -149,8 +149,14 @@ class BeamSlotPool(SlotPool):
                                             dtype=self.engine.dtype)
                 cross = {"cross_k": ck, "cross_v": cv}
             T = state["self_k"].shape[-1]
+            # int8 pools prefill STRAIGHT into int8 pages + per-token
+            # scales (same as the greedy pool, slots.py _build_admit) —
+            # the old path prefilled bf16 and quantized the placed
+            # full-T page, paying T/P-fold wasted quantize work on the
+            # zero columns (r4 review)
             cache1 = W.init_cache(dims, n * K, enc.shape[1],
-                                  dtype=self.engine.dtype, t_text=T)
+                                  dtype=self.engine.dtype,
+                                  self_kv_int8=self.self_int8, t_text=T)
             rep = lambda x: jnp.repeat(x, K, axis=1)
             cache1 = {**cache1, **{k: rep(v) for k, v in cross.items()}}
             prompts_rep = jnp.repeat(prompts, K, axis=0)
@@ -164,35 +170,31 @@ class BeamSlotPool(SlotPool):
             shift = jnp.mod(state["gstep"] - P_len, T)
             if P_len <= self.ring_width:
                 def place(page):
-                    z = jnp.zeros((), jnp.int32)
+                    # page: any rank with the circular T axis MINOR
+                    # (5D KV pages, 4D per-token scale tensors)
+                    z = (jnp.zeros((), jnp.int32),) * (page.ndim - 1)
                     return jax.lax.dynamic_update_slice(
-                        jnp.zeros_like(page), page[..., :P_len],
-                        (z, z, z, z, shift))
+                        jnp.zeros_like(page), page[..., :P_len], z + (shift,))
             else:
                 def place(page):
-                    z = jnp.zeros((), jnp.int32)
+                    z = (jnp.zeros((), jnp.int32),) * (page.ndim - 1)
                     buf = jnp.zeros(page.shape[:-1] + (T + P_len,), page.dtype)
                     buf = jax.lax.dynamic_update_slice(
-                        buf, page[..., :P_len], (z, z, z, z, shift))
+                        buf, page[..., :P_len], z + (shift,))
                     return buf[..., :T].at[..., :P_len].add(buf[..., T:])
 
             rows = (slots[:, None] * K
                     + jnp.arange(K, dtype=slots.dtype)[None, :]).reshape(-1)
             new = dict(state)
-            sk_placed = place(cache1["self_k"])
-            sv_placed = place(cache1["self_v"])
+            new["self_k"] = state["self_k"].at[:, rows].set(place(cache1["self_k"]))
+            new["self_v"] = state["self_v"].at[:, rows].set(place(cache1["self_v"]))
             if self.self_int8:
-                # prompt KV quantizes at admission (per-token scales ride
-                # the same circular placement as their columns)
-                skq, sks = W._quantize_kv_pages(sk_placed)
-                svq, svs = W._quantize_kv_pages(sv_placed)
-                new["self_k"] = state["self_k"].at[:, rows].set(skq)
-                new["self_v"] = state["self_v"].at[:, rows].set(svq)
-                new["self_k_scale"] = state["self_k_scale"].at[:, rows].set(sks)
-                new["self_v_scale"] = state["self_v_scale"].at[:, rows].set(svs)
-            else:
-                new["self_k"] = state["self_k"].at[:, rows].set(sk_placed)
-                new["self_v"] = state["self_v"].at[:, rows].set(sv_placed)
+                # per-token scales ride the same circular placement as
+                # their columns (prefill wrote them alongside the pages)
+                new["self_k_scale"] = state["self_k_scale"].at[:, rows].set(
+                    place(cache1["self_k_scale"]))
+                new["self_v_scale"] = state["self_v_scale"].at[:, rows].set(
+                    place(cache1["self_v_scale"]))
             for key, v in cross.items():
                 new[key] = state[key].at[:, slots].set(v)
             new["pos"] = state["pos"].at[rows].set(cache1["pos"])
@@ -449,23 +451,11 @@ class BeamSlotPool(SlotPool):
         def flush(state):
             z = jnp.zeros((), jnp.int32)
             at = jnp.mod(state["gstep"], state["self_k"].shape[-1])
-            if self_q8:
-                # flush-time quantization (same as the greedy pool): one
-                # batched quantize of the W bf16 ring rows + a second
-                # uniform DUS for the per-token scales
-                rkq, rks = W._quantize_kv_rows(state["ring_k"])
-                rvq, rvs = W._quantize_kv_rows(state["ring_v"])
-                rk = jnp.swapaxes(rkq, -1, -2)
-                rv = jnp.swapaxes(rvq, -1, -2)
-                extra = {
-                    "self_k_scale": jax.lax.dynamic_update_slice(
-                        state["self_k_scale"], rks, (z, z, z, at)),
-                    "self_v_scale": jax.lax.dynamic_update_slice(
-                        state["self_v_scale"], rvs, (z, z, z, at))}
-            else:
-                rk = jnp.swapaxes(state["ring_k"], -1, -2).astype(state["self_k"].dtype)
-                rv = jnp.swapaxes(state["ring_v"], -1, -2).astype(state["self_v"].dtype)
-                extra = {}
+            # flush-time quantization or plain cast via the shared helper
+            # (numerically identical to the greedy pool and full windows)
+            rk, rv, extra = W.flush_ring_rows(
+                state["ring_k"], state["ring_v"], state["self_k"].dtype,
+                at, state.get("self_k_scale"), state.get("self_v_scale"))
             return {**state, **extra,
                     "self_k": jax.lax.dynamic_update_slice(
                         state["self_k"], rk, (z, z, z, z, at)),

@@ -488,24 +488,12 @@ class SlotPool:
             cursor extent, and inactive slots' pages just age out."""
             z = jnp.zeros((), jnp.int32)
             at = jnp.mod(state["gstep"], state["self_k"].shape[-1])
-            if self.self_int8:
-                # flush-time quantization (r4): ONE batched quantize of the
-                # W bf16 ring rows + a second uniform DUS for the per-token
-                # scales — the write-time path paid this every step and
-                # measured speed-neutral; amortized W-fold it is pure win
-                rkq, rks = W._quantize_kv_rows(state["ring_k"])
-                rvq, rvs = W._quantize_kv_rows(state["ring_v"])
-                rk = jnp.swapaxes(rkq, -1, -2)
-                rv = jnp.swapaxes(rvq, -1, -2)
-                extra = {
-                    "self_k_scale": jax.lax.dynamic_update_slice(
-                        state["self_k_scale"], rks, (z, z, z, at)),
-                    "self_v_scale": jax.lax.dynamic_update_slice(
-                        state["self_v_scale"], rvs, (z, z, z, at))}
-            else:
-                rk = jnp.swapaxes(state["ring_k"], -1, -2).astype(state["self_k"].dtype)
-                rv = jnp.swapaxes(state["ring_v"], -1, -2).astype(state["self_v"].dtype)
-                extra = {}
+            # flush-time quantization (r4) or plain cast — the ONE shared
+            # helper (W.flush_ring_rows) keeps this numerically identical
+            # to the full-window and beam-pool flushes
+            rk, rv, extra = W.flush_ring_rows(
+                state["ring_k"], state["ring_v"], state["self_k"].dtype,
+                at, state.get("self_k_scale"), state.get("self_v_scale"))
             return {**state, **extra,
                     "self_k": jax.lax.dynamic_update_slice(
                         state["self_k"], rk, (z, z, z, z, at)),
@@ -806,12 +794,9 @@ class StreamingDecodeServer:
                task: str = "transcribe",
                context: list[int] | None = None) -> Future:
         """context: previous-text conditioning tokens (see _build_prompt)."""
-        if self._dead is not None:
-            raise RuntimeError("slot server dead") from self._dead
         job = _StreamJob(np.asarray(mel),
                          self._build_prompt(language, task, context))
-        self._queue.put(job)
-        return job.future
+        return self._put(job)
 
     def submit_audio(self, audio: np.ndarray, language: str | None = "en",
                      task: str = "transcribe",
@@ -822,8 +807,6 @@ class StreamingDecodeServer:
         denoise chain — runs inside the admission program, so the audio
         uploads once and nothing round-trips device<->host.
         Audio is padded/truncated to the pool's t_mel bucket."""
-        if self._dead is not None:
-            raise RuntimeError("slot server dead") from self._dead
         from speaksense_tpu.audio import mel as MEL
 
         n = self.pool.t_mel * MEL.HOP_LENGTH
@@ -845,7 +828,40 @@ class StreamingDecodeServer:
             c = a.astype(np.float32) / 32767.0 if a.dtype == np.int16 else a
             branch = classify_noise(c)  # host pick -> single-branch program
         job = _StreamJob(a, prompt, is_audio=True, denoise=branch)
+        return self._put(job)
+
+    def _fatal(self, e2: Exception) -> None:
+        """Declare the server dead after an unrecoverable pool failure:
+        fail every registered + queued future and reject new submissions
+        (submit/submit_audio check _dead, and re-check after their put —
+        see the post-put guard — so no job can be stranded on the queue)."""
+        self._dead = e2
+        for job in list(self.pool.jobs.values()):
+            if not job.future.done():
+                job.future.set_exception(e2)
+        self.pool.jobs.clear()
+        while True:
+            try:
+                j = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not j.future.done():
+                j.future.set_exception(e2)
+
+    def _put(self, job: "_StreamJob") -> Future:
+        """Enqueue a job, closing the submit/dead-transition race: if the
+        loop thread declared the server dead between our _dead check and
+        the put, nothing will ever drain the queue again — fail the job
+        here instead of stranding its settler on future.result()."""
+        if self._dead is not None:
+            raise RuntimeError("slot server dead") from self._dead
         self._queue.put(job)
+        if self._dead is not None and not job.future.done():
+            try:
+                job.future.set_exception(
+                    RuntimeError("slot server dead"))
+            except Exception:  # already resolved by the drain — fine
+                pass
         return job.future
 
     def _loop(self) -> None:
@@ -872,7 +888,20 @@ class StreamingDecodeServer:
                     # other slots are untouched and serving continues
                     log.error("admission failed: %s", e, exc_info=True)
                     if not self.pool.state_healthy():
-                        self.pool.reset(e)
+                        try:
+                            self.pool.reset(e)
+                        except Exception as e2:
+                            # reset itself failed (e.g. OOM rebuilding the
+                            # pages) — same dead-server path as the step
+                            # branch below; without this guard the thread
+                            # would die with futures unresolved
+                            log.error("pool reset failed; slot server dead:"
+                                      " %s", e2, exc_info=True)
+                            for job in pending:
+                                if not job.future.done():
+                                    job.future.set_exception(e2)
+                            self._fatal(e2)
+                            return
                         self._lag_meta = None
                     break
                 if n == 0:
@@ -949,22 +978,9 @@ class StreamingDecodeServer:
                         # this thread with jobs still unresolved — every
                         # stream would then hang on future.result() forever
                         # (observed: beam pool OOM deadlocked the server).
-                        # Declare the server dead: fail EVERYTHING queued,
-                        # reject new submissions, and exit the loop.
                         log.error("pool reset failed; slot server dead: %s",
                                   e2, exc_info=True)
-                        self._dead = e2
-                        for job in list(self.pool.jobs.values()):
-                            if not job.future.done():
-                                job.future.set_exception(e2)
-                        self.pool.jobs.clear()
-                        while True:
-                            try:
-                                j = self._queue.get_nowait()
-                            except queue.Empty:
-                                break
-                            if not j.future.done():
-                                j.future.set_exception(e2)
+                        self._fatal(e2)
                         return
 
     def stop(self) -> None:
