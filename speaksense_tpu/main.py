@@ -72,7 +72,8 @@ def build_context(config: Config, engine):
 
 
 async def serve(config: Config, fake_engine: bool = False,
-                slot_serving: bool = False, slot_prompt: int = 16) -> None:
+                slot_serving: bool = False, slot_prompt: int = 16,
+                condition: bool = True) -> None:
     from speaksense_tpu.registry.etcd import EtcdRegistry
     from speaksense_tpu.serving.grpc_server import GrpcServer
     from speaksense_tpu.serving.rest import start_server
@@ -118,7 +119,8 @@ async def serve(config: Config, fake_engine: bool = False,
         # optional stream auth (SPEAKSENSE_GRPC_AUTH=optional|required): the
         # same key store as REST; off by default for reference wire parity
         auth=ctx.auth if config.grpc_auth in ("optional", "required") else None,
-        require_auth=config.grpc_auth == "required")
+        require_auth=config.grpc_auth == "required",
+        condition=condition)
     try:
         await grpc_server.start()
     except Exception:
@@ -194,6 +196,10 @@ def main() -> None:
                              "= plain SOT; 64 lets pooled streams carry "
                              "previous-text conditioning at the cost of a "
                              "larger per-slot KV page)")
+    parser.add_argument("--no-condition", action="store_true",
+                        help="disable previous-text conditioning on streams "
+                             "(whisper.cpp no_context=true; the reference "
+                             "serves no_context=false)")
     args = parser.parse_args()
 
     import os
@@ -231,7 +237,8 @@ def main() -> None:
     logsetup.init(config.log_dir)
     asyncio.run(serve(config, fake_engine=args.fake_engine,
                       slot_serving=args.slot_serving,
-                      slot_prompt=args.slot_prompt))
+                      slot_prompt=args.slot_prompt,
+                      condition=not args.no_condition))
 
 
 if __name__ == "__main__":

@@ -96,6 +96,8 @@ def pool_state_shardings(state: dict) -> dict:
             specs[k] = P(None, "dp", "tp", None)
         elif k in ("tokens", "last_logits"):
             specs[k] = P("dp", None)
+        elif k == "key":  # pool PRNG key (2,) — replicated, NOT a slot axis
+            specs[k] = P()
         elif getattr(v, "ndim", 0) == 1:  # per-slot registers
             specs[k] = per_slot
         else:  # scalars (ring_n, gstep)

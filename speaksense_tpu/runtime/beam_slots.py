@@ -102,6 +102,13 @@ class BeamSlotPool(SlotPool):
             last_ts=jnp.zeros((S + 1, K), jnp.int32),
             finished=jnp.zeros((S + 1, K), bool),
             active=jnp.zeros((S + 1,), bool),
+            # per-slot no-speech probability (prefill logits at the SOT
+            # position, shared by all K beams) — consumed host-side at
+            # settle against no_speech_thold (whisper.rs:167). Beam pools
+            # have no per-slot temperature: fallback retries at t>0 switch
+            # to greedy sampling on the window path, matching whisper.cpp's
+            # beam -> greedy-sampling ladder.
+            ns_prob=jnp.zeros((S + 1,), jnp.float32),
         )
         self.state = state
         if self.mesh is not None:
@@ -121,7 +128,12 @@ class BeamSlotPool(SlotPool):
         dims, cfg = self.dims, self.cfg
         S, K = self.S, self.K
 
-        def admit(params, state, mel, slots, prompts, plen, valid, ring_fill):
+        def admit(params, state, mel, slots, prompts, plen, sot_idx, temps,
+                  valid, ring_fill):
+            # temps is accepted for host-protocol parity with the greedy
+            # pool but unused: beam decode is t=0 only (fallback retries
+            # route through the window path at t>0)
+            del temps
             if from_audio:
                 from speaksense_tpu.audio import mel as MEL
 
@@ -200,6 +212,12 @@ class BeamSlotPool(SlotPool):
             new["pos"] = state["pos"].at[rows].set(cache1["pos"])
             last = logits[jnp.arange(n * K), plen_rep - 1].astype(jnp.float32)
             new["last_logits"] = state["last_logits"].at[rows].set(last)
+            # no-speech probability from beam 0's prefill row (all K beams
+            # share the prompt, so any row works)
+            r0 = jnp.arange(n) * K
+            sot_logits = logits[r0, sot_idx].astype(jnp.float32)
+            ns = jax.nn.softmax(sot_logits, axis=-1)[:, cfg.no_speech]
+            new["ns_prob"] = state["ns_prob"].at[slots].set(ns)
             own = jnp.broadcast_to(
                 jnp.arange(K, dtype=jnp.int32)[None, :, None], (n, K, T))
             new["anc"] = state["anc"].at[slots].set(own)
@@ -445,6 +463,8 @@ class BeamSlotPool(SlotPool):
                 take(state["n_sampled"]).astype(jnp.int32),
                 jax.lax.bitcast_convert_type(
                     take(state["scores"]).astype(jnp.float32), jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    state["ns_prob"].astype(jnp.float32), jnp.int32),
                 btok.reshape(-1),
             ])
 
@@ -493,12 +513,13 @@ class BeamSlotPool(SlotPool):
         scores = np.asarray(self.state["scores"])
         n_sampled = np.asarray(self.state["n_sampled"])
         tokens = np.asarray(self.state["tokens"])
+        ns_prob = np.asarray(self.state["ns_prob"])
         done: list[_StreamJob] = []
         for slot in done_slots:
             job = self.jobs.pop(slot)
             best = int(np.argmax(scores[slot] / (n_sampled[slot] + 1)))
             self._complete(job, slot, tokens[slot, best],
                            int(n_sampled[slot, best]),
-                           float(scores[slot, best]))
+                           float(scores[slot, best]), float(ns_prob[slot]))
             done.append(job)
         return done

@@ -59,6 +59,16 @@ class _StreamJob:
     slot: int = -1
     is_audio: bool = False
     denoise: str | None = None       # device denoise branch name, or None
+    sot_index: int = 0               # position of <|sot|> in prompt — the
+    #                                  no-speech probability reads the
+    #                                  prefill logits at this row (openai
+    #                                  whisper's sot_index; whisper.cpp
+    #                                  no_speech_thold, whisper.rs:167)
+    temperature: float = 0.0         # per-slot sampling temperature: >0 on
+    #                                  quality-fallback retries (the ladder
+    #                                  stays continuous-batched — resubmitted
+    #                                  chunks sample at their own temp while
+    #                                  other slots stay greedy)
     admit_step: int = 0              # pool.step_calls when admitted (see
     #                                  retire_from: a meta snapshot older
     #                                  than the admission must not retire
@@ -181,6 +191,14 @@ class SlotPool:
             last_ts=jnp.zeros((S + 1,), jnp.int32),
             active=jnp.zeros((S + 1,), bool),
             sum_lp=jnp.zeros((S + 1,), jnp.float32),
+            # whisper quality-gate plumbing on the POOLED path (VERDICT r4
+            # item 1): per-slot no-speech probability captured at admission
+            # (prefill logits at the SOT position) and a per-slot sampling
+            # temperature so fallback retries ride the pool continuously
+            # batched instead of the window path's serial ladder
+            ns_prob=jnp.zeros((S + 1,), jnp.float32),
+            temp=jnp.zeros((S + 1,), jnp.float32),
+            key=jax.random.PRNGKey(0),
         )
         # Ring mode with CIRCULAR self-KV pages (all pools; int8 pages keep
         # the ring bf16 — the flush quantizes). Per-step writes land in
@@ -267,9 +285,12 @@ class SlotPool:
         dims, cfg = self.dims, self.cfg
         S = self.S
 
-        def admit(params, state, mel, slots, prompts, plen, valid, ring_fill):
+        def admit(params, state, mel, slots, prompts, plen, sot_idx, temps,
+                  valid, ring_fill):
             # mel (n, t_mel, n_mels) — or raw audio (n, t_mel*HOP) when
-            # from_audio; slots/plen/valid (n,); prompts (n, P); ring_fill:
+            # from_audio; slots/plen/valid (n,); prompts (n, P); sot_idx (n,)
+            # locates <|sot|> per row (no-speech probability); temps (n,)
+            # per-slot sampling temperature (0 = greedy); ring_fill:
             # the ring row cursor at admission (SUB-FLUSH admission, VERDICT
             # r2 item 3 — a freed slot no longer waits for the chunk
             # boundary). The prompt still lands just behind the flush cursor
@@ -370,6 +391,13 @@ class SlotPool:
             new["pos"] = state["pos"].at[slots].set(cache1["pos"])
             last = logits[rows, plen - 1].astype(jnp.float32)
             new["last_logits"] = state["last_logits"].at[slots].set(last)
+            # no-speech probability at the SOT position (openai whisper's
+            # probs_at_sot; consumed host-side at settle against
+            # no_speech_thold — whisper.rs:167)
+            sot_logits = logits[rows, sot_idx].astype(jnp.float32)
+            ns = jax.nn.softmax(sot_logits, axis=-1)[:, cfg.no_speech]
+            new["ns_prob"] = state["ns_prob"].at[slots].set(ns)
+            new["temp"] = state["temp"].at[slots].set(temps)
             new["tokens"] = state["tokens"].at[slots].set(
                 jnp.full((n, self.max_new), cfg.eot, jnp.int32))
             zeros = jnp.zeros((n,), jnp.int32)
@@ -400,7 +428,15 @@ class SlotPool:
                 filtered = D.apply_logit_rules(
                     state["last_logits"], cfg, suppress,
                     state["n_sampled"], state["last"], state["penult"], state["last_ts"])
-            tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+            # per-slot temperature: greedy slots argmax; fallback-retry slots
+            # (temp > 0, set at admission) Gumbel-max sample. The cond keeps
+            # the all-greedy hot path free of the (S+1, V) uniform draw.
+            key, sub = jax.random.split(state["key"])
+            tok = jax.lax.cond(
+                jnp.any(state["temp"] > 0.0),
+                lambda f: D._sample(f, state["temp"], sub),
+                lambda f: jnp.argmax(f, axis=-1).astype(jnp.int32),
+                filtered)
             tok = jnp.where(state["active"], tok, cfg.eot)
             lp = jax.nn.log_softmax(filtered, axis=-1)
             tok_lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
@@ -456,6 +492,7 @@ class SlotPool:
             new["last_ts"] = jnp.where(still & is_ts, tok, state["last_ts"])
             new["sum_lp"] = state["sum_lp"] + jnp.where(state["active"], tok_lp, 0.0)
             new["active"] = state["active"] & ~newly_done & ~hit_cap
+            new["key"] = key
             finished_now = newly_done | hit_cap
             return new, finished_now
 
@@ -474,6 +511,8 @@ class SlotPool:
                 state["n_sampled"].astype(jnp.int32),
                 jax.lax.bitcast_convert_type(
                     state["sum_lp"].astype(jnp.float32), jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    state["ns_prob"].astype(jnp.float32), jnp.int32),
                 state["tokens"].astype(jnp.int32).reshape(-1),
             ])
 
@@ -574,6 +613,8 @@ class SlotPool:
         slots = np.full((bucket,), self.S, np.int32)       # padding -> scratch
         valid = np.zeros((bucket,), bool)
         plen = np.ones((bucket,), np.int32)
+        sot_idx = np.zeros((bucket,), np.int32)
+        temps = np.zeros((bucket,), np.float32)
         prompts = np.full((bucket, P), self.cfg.eot, np.int32)
         mel = np.zeros((bucket,) + batch[0].mel.shape, batch[0].mel.dtype)
         try:
@@ -583,6 +624,7 @@ class SlotPool:
                 job.admit_step = self.step_calls
                 job.admit_tstep = self.total_steps
                 slots[i], valid[i], plen[i] = slot, True, len(job.prompt)
+                sot_idx[i], temps[i] = job.sot_index, job.temperature
                 prompts[i, : len(job.prompt)] = job.prompt
                 mel[i] = job.mel
                 self.jobs[slot] = job
@@ -596,7 +638,8 @@ class SlotPool:
                     denoise=batch[0].denoise)
             self.state = fn(self.engine.params, self.state, jnp.asarray(mel),
                             jnp.asarray(slots), jnp.asarray(prompts),
-                            jnp.asarray(plen), jnp.asarray(valid),
+                            jnp.asarray(plen), jnp.asarray(sot_idx),
+                            jnp.asarray(temps), jnp.asarray(valid),
                             jnp.asarray(self.ring_fill, jnp.int32))
         except Exception as e:
             # roll the batch back (an admission failure — bad mel shape,
@@ -669,22 +712,24 @@ class SlotPool:
         active = m[:s1] != 0
         n_sampled = m[s1 : 2 * s1]
         sum_lp = m[2 * s1 : 3 * s1].view(np.float32)
-        tokens = m[3 * s1 :].reshape(s1, self.max_new)
+        ns_prob = m[3 * s1 : 4 * s1].view(np.float32)
+        tokens = m[4 * s1 :].reshape(s1, self.max_new)
         done: list[_StreamJob] = []
         for slot, job in list(self.jobs.items()):
             if job.admit_step >= dispatch_no or active[slot]:
                 continue
             self.jobs.pop(slot)
             self._complete(job, slot, tokens[slot], int(n_sampled[slot]),
-                           float(sum_lp[slot]))
+                           float(sum_lp[slot]), float(ns_prob[slot]))
             done.append(job)
         return done
 
     def _complete(self, job: _StreamJob, slot: int, tokens, n: int,
-                  sum_lp: float) -> None:
+                  sum_lp: float, ns_prob: float = 0.0) -> None:
         job.future.set_result(dict(
             tokens=tokens, n_sampled=n, sum_logprob=sum_lp,
             avg_logprob=sum_lp / (n + 1),
+            no_speech_prob=ns_prob, temperature=job.temperature,
         ))
         self.free.append(slot)
 
@@ -700,11 +745,12 @@ class SlotPool:
         tokens = np.asarray(self.state["tokens"])
         n_sampled = np.asarray(self.state["n_sampled"])
         sum_lp = np.asarray(self.state["sum_lp"])
+        ns_prob = np.asarray(self.state["ns_prob"])
         done: list[_StreamJob] = []
         for slot in done_slots:
             job = self.jobs.pop(slot)
             self._complete(job, slot, tokens[slot], int(n_sampled[slot]),
-                           float(sum_lp[slot]))
+                           float(sum_lp[slot]), float(ns_prob[slot]))
             done.append(job)
         return done
 
@@ -779,29 +825,37 @@ class StreamingDecodeServer:
         self._lag_meta: tuple[object, int] | None = None
 
     def _build_prompt(self, language: str | None, task: str,
-                      context: list[int] | None) -> list[int]:
+                      context: list[int] | None) -> tuple[list[int], int]:
         """[<|startofprev|>] + context[-cap:] + SOT sequence, truncated from
         the left to the pool's max_prompt budget (16-token pools carry no
-        context; construct with max_prompt=64 for conditioned streaming)."""
+        context; construct with max_prompt=64 for conditioned streaming).
+        Returns (prompt, sot_index) — sot_index locates <|sot|> for the
+        no-speech probability read at admission."""
         tok = self.engine.tokenizer
         sot = list(tok.sot_sequence(language or "en", task=task))
         cap = self.pool.max_prompt - len(sot) - 1
         if context and cap > 0:
-            return [tok.sot_prev] + list(context)[-cap:] + sot
-        return sot
+            prompt = [tok.sot_prev] + list(context)[-cap:] + sot
+            return prompt, len(prompt) - len(sot)
+        return sot, 0
 
     def submit(self, mel: np.ndarray, language: str | None = "en",
                task: str = "transcribe",
-               context: list[int] | None = None) -> Future:
-        """context: previous-text conditioning tokens (see _build_prompt)."""
-        job = _StreamJob(np.asarray(mel),
-                         self._build_prompt(language, task, context))
+               context: list[int] | None = None,
+               temperature: float = 0.0) -> Future:
+        """context: previous-text conditioning tokens (see _build_prompt).
+        temperature > 0: quality-fallback retry submission (per-slot Gumbel
+        sampling in the pool step)."""
+        prompt, sot_index = self._build_prompt(language, task, context)
+        job = _StreamJob(np.asarray(mel), prompt, sot_index=sot_index,
+                         temperature=float(temperature))
         return self._put(job)
 
     def submit_audio(self, audio: np.ndarray, language: str | None = "en",
                      task: str = "transcribe",
                      context: list[int] | None = None,
-                     denoise: bool = False) -> Future:
+                     denoise: bool = False,
+                     temperature: float = 0.0) -> Future:
         """Submit RAW 16 kHz PCM (preferred over submit() on remote-relay
         backends): the log-mel transform — and, with denoise=True, the DSP
         denoise chain — runs inside the admission program, so the audio
@@ -818,7 +872,7 @@ class StreamingDecodeServer:
             a = a.astype(np.float32, copy=False)
         if a.size < n:
             a = np.pad(a, (0, n - a.size))
-        prompt = self._build_prompt(language, task, context)
+        prompt, sot_index = self._build_prompt(language, task, context)
         branch = None
         if denoise:
             from speaksense_tpu.audio.dsp import classify_noise
@@ -827,7 +881,8 @@ class StreamingDecodeServer:
             # reference-scaled f32 view even when the upload stays s16
             c = a.astype(np.float32) / 32767.0 if a.dtype == np.int16 else a
             branch = classify_noise(c)  # host pick -> single-branch program
-        job = _StreamJob(a, prompt, is_audio=True, denoise=branch)
+        job = _StreamJob(a, prompt, is_audio=True, denoise=branch,
+                         sot_index=sot_index, temperature=float(temperature))
         return self._put(job)
 
     def _fatal(self, e2: Exception) -> None:

@@ -50,10 +50,14 @@ class AsrService:
 
     def __init__(self, engine: AsrEngine, language: str = "zh", denoise: bool = True,
                  executor=None, max_inflight: int | None = None,
-                 auth=None, require_auth: bool = False):
+                 auth=None, require_auth: bool = False,
+                 condition: bool = True):
         self.engine = engine
         self.language = language
         self.denoise = denoise
+        # previous-text conditioning toggle (whisper.cpp no_context;
+        # reference serves no_context=false = condition=True)
+        self.condition = condition
         # OPTIONAL bearer auth on streams (off by default: the reference's
         # gRPC front door is unauthenticated, SURVEY §1 L4). With an Auth
         # service attached, an `authorization: Bearer <key>` metadata entry
@@ -141,7 +145,8 @@ class AsrService:
                         session = StreamSession(self.engine, device_id=req.device_id,
                                                 language=self.language,
                                                 denoise=self.denoise,
-                                                audio_format=fmt)
+                                                audio_format=fmt,
+                                                condition=self.condition)
                     pendings = await loop.run_in_executor(
                         self._executor, session.ingest, req.audio, req.device_id)
                     for p in pendings:
@@ -241,7 +246,7 @@ class GrpcServer:
 
     def __init__(self, engine: AsrEngine, port: int = 7300, registry=None,
                  service_name: str = "asr", language: str = "zh", denoise: bool = True,
-                 auth=None, require_auth: bool = False):
+                 auth=None, require_auth: bool = False, condition: bool = True):
         self.engine = engine
         self.port = port
         self.registry = registry
@@ -251,6 +256,7 @@ class GrpcServer:
         self.denoise = denoise
         self.auth = auth
         self.require_auth = require_auth
+        self.condition = condition
         self._server: grpc.aio.Server | None = None
 
     def service_info(self) -> dict:
@@ -275,7 +281,8 @@ class GrpcServer:
     async def start(self) -> None:
         self._server = grpc.aio.server()
         svc = AsrService(self.engine, language=self.language, denoise=self.denoise,
-                         auth=self.auth, require_auth=self.require_auth)
+                         auth=self.auth, require_auth=self.require_auth,
+                         condition=self.condition)
         self._server.add_generic_rpc_handlers((svc.handler(),))
         bound = self._server.add_insecure_port(f"0.0.0.0:{self.port}")
         if bound == 0:

@@ -242,10 +242,15 @@ class StreamSession:
     def __init__(self, engine: AsrEngine, device_id: str = "",
                  language: str = "zh", denoise: bool = True,
                  chunk_bytes: int = CHUNK_BYTES, overlap_bytes: int = OVERLAP_BYTES,
-                 audio_format: str = "PCM"):
+                 audio_format: str = "PCM", condition: bool = True):
         self.engine = engine
         self.state = engine.create_state()
-        self.params = AsrParams(language=language, stream_mode=True, min_segment_length=5)
+        # condition=False is whisper.cpp's no_context=true mode (the
+        # reference runs no_context=false, whisper.rs:65-69): chunks carry
+        # no previous-text prompt even on a conditioned-capable pool
+        self.params = AsrParams(language=language, stream_mode=True,
+                                min_segment_length=5,
+                                condition_on_previous_text=condition)
         self.device_id = device_id
         self.denoise = denoise
         if not 0 <= overlap_bytes < chunk_bytes:

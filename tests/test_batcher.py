@@ -149,7 +149,10 @@ def test_batched_engine_forwards_slot_paths(rng):
     params = init_params(TINY_DIMS, jax.random.PRNGKey(0))
     tok = Tokenizer.synthetic(TINY_DIMS.n_vocab)
     eng = WhisperEngine(params, TINY_DIMS, tok,
-                        config=EngineConfig(compute_dtype="float32"))
+                        config=EngineConfig(compute_dtype="float32",
+                                               compression_ratio_thold=1e9,
+                                               logprob_thold=-1e9,
+                                               entropy_thold=-1.0))
     batched = BatchedEngine(eng)
     try:
         assert batched.device_denoise is False  # no pool yet

@@ -23,8 +23,14 @@ def engine():
 
     params = init_params(DIMS, jax.random.PRNGKey(0))
     tok = Tokenizer.synthetic(DIMS.n_vocab)
+    # thresholds neutralized: random weights trip the (since-r5) pooled
+    # quality ladder; pool-mechanics tests need deterministic t=0 decodes
+    # (the ladder itself is pinned in tests/test_pool_quality.py)
     return WhisperEngine(params, DIMS, tok,
-                         config=EngineConfig(compute_dtype="float32"))
+                         config=EngineConfig(compute_dtype="float32",
+                                             compression_ratio_thold=1e9,
+                                             logprob_thold=-1e9,
+                                             entropy_thold=-1.0))
 
 
 def _mel(engine, rng, scale=0.1):
@@ -151,7 +157,10 @@ def test_stream_chunks_via_beam_pool(rng):
     eng = WhisperEngine(init_params(DIMS, jax.random.PRNGKey(0)), DIMS,
                         Tokenizer.synthetic(DIMS.n_vocab),
                         config=EngineConfig(compute_dtype="float32",
-                                            beam_size=2))
+                                            beam_size=2,
+                                            compression_ratio_thold=1e9,
+                                            logprob_thold=-1e9,
+                                            entropy_thold=-1.0))
     eng.enable_slot_serving(n_slots=2, t_mel=512, max_new=12)
     try:
         assert isinstance(eng._slot_server.pool, BeamSlotPool)

@@ -91,7 +91,10 @@ def test_concurrent_streams_through_slot_pool():
         n_text_head=4, n_text_layer=2)
     engine = WhisperEngine(init_params(dims, jax.random.PRNGKey(0)), dims,
                            Tokenizer.synthetic(dims.n_vocab),
-                           config=EngineConfig(compute_dtype="float32"))
+                           config=EngineConfig(compute_dtype="float32",
+                                               compression_ratio_thold=1e9,
+                                               logprob_thold=-1e9,
+                                               entropy_thold=-1.0))
     engine.enable_slot_serving(n_slots=2, t_mel=512, max_new=8)
 
     rng = np.random.default_rng(0)
@@ -204,7 +207,10 @@ def test_backlogged_stream_pipelines_through_slot_pool():
         n_text_head=4, n_text_layer=2)
     engine = WhisperEngine(init_params(dims, jax.random.PRNGKey(0)), dims,
                            Tokenizer.synthetic(dims.n_vocab),
-                           config=EngineConfig(compute_dtype="float32"))
+                           config=EngineConfig(compute_dtype="float32",
+                                               compression_ratio_thold=1e9,
+                                               logprob_thold=-1e9,
+                                               entropy_thold=-1.0))
     engine.enable_slot_serving(n_slots=2, t_mel=512, max_new=8)
 
     rng = np.random.default_rng(1)

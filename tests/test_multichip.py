@@ -130,7 +130,13 @@ def test_grpc_server_tp2_slot_pool_end_to_end():
         n_text_head=4, n_text_layer=2)
     engine = WhisperEngine(init_params(dims, jax.random.PRNGKey(0)), dims,
                            Tokenizer.synthetic(dims.n_vocab),
-                           config=EngineConfig(compute_dtype="float32"))
+                           # thresholds neutralized: random weights would
+                           # otherwise walk the pooled quality ladder on
+                           # every chunk (pinned in test_pool_quality.py)
+                           config=EngineConfig(compute_dtype="float32",
+                                               compression_ratio_thold=1e9,
+                                               logprob_thold=-1e9,
+                                               entropy_thold=-1.0))
     mesh = make_mesh(8, tp=2)  # dp=4, tp=2 — the exact main.py --tp 2 wiring
     engine.shard(mesh)
     # 5 requested slots round DOWN to 3 so S+1=4 divides dp=4
