@@ -73,7 +73,8 @@ def build_context(config: Config, engine):
 
 async def serve(config: Config, fake_engine: bool = False,
                 slot_serving: bool = False, slot_prompt: int = 16,
-                condition: bool = True) -> None:
+                condition: bool = True, slot_tokens: int = 96,
+                slots: int | None = None) -> None:
     from speaksense_tpu.registry.etcd import EtcdRegistry
     from speaksense_tpu.serving.grpc_server import GrpcServer
     from speaksense_tpu.serving.rest import start_server
@@ -110,7 +111,8 @@ async def serve(config: Config, fake_engine: bool = False,
                              devices=jax.local_devices())
             inner.shard(mesh)
     if slot_serving and hasattr(inner, "enable_slot_serving"):
-        inner.enable_slot_serving(max_prompt=slot_prompt)
+        inner.enable_slot_serving(n_slots=slots, max_new=slot_tokens,
+                                  max_prompt=slot_prompt)
     ctx, scheduler = build_context(config, engine)
 
     registry = EtcdRegistry(config.etcd_endpoint)
@@ -200,6 +202,14 @@ def main() -> None:
                         help="disable previous-text conditioning on streams "
                              "(whisper.cpp no_context=true; the reference "
                              "serves no_context=false)")
+    parser.add_argument("--slot-tokens", type=int, default=96,
+                        help="slot-pool decode-token budget per 5 s chunk "
+                             "(default 96; 64 is the beam latency mode — "
+                             "p95 3.0 s at beam=5, PERF.md round-5 table)")
+    parser.add_argument("--slots", type=int, default=None,
+                        help="slot-pool size (default EngineConfig."
+                             "stream_slots; beam pools cap lower — 32 is "
+                             "the single-chip large-v3 beam ceiling)")
     args = parser.parse_args()
 
     import os
@@ -238,7 +248,9 @@ def main() -> None:
     asyncio.run(serve(config, fake_engine=args.fake_engine,
                       slot_serving=args.slot_serving,
                       slot_prompt=args.slot_prompt,
-                      condition=not args.no_condition))
+                      condition=not args.no_condition,
+                      slot_tokens=args.slot_tokens,
+                      slots=args.slots))
 
 
 if __name__ == "__main__":

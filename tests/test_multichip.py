@@ -249,3 +249,50 @@ def test_beam_slot_pool_sharded_tp2():
     for j in done:
         r = j.future.result()
         assert 0 <= r["n_sampled"] <= 16
+
+
+def test_sharded_pool_quality_ladder_fires():
+    """The r5 quality-gate plumbing under dp/tp sharding: per-slot
+    temperature vector, replicated PRNG key, and ns_prob meta all live in
+    the SHARDED pool state, and a threshold-tripping chunk walks the full
+    pooled ladder (5 retries at best_of=1) on the dp=4/tp=2 mesh — the
+    exact state layout where sharding annotations rot."""
+    from speaksense_tpu.asr import AsrParams
+    from speaksense_tpu.asr.engine import WhisperEngine
+    from speaksense_tpu.config import EngineConfig
+    from speaksense_tpu.models.tokenizer import Tokenizer
+    from speaksense_tpu.models.whisper import WhisperDims, init_params
+    from speaksense_tpu.parallel import make_mesh
+    from speaksense_tpu.utils.metrics import REGISTRY as METRICS
+
+    dims = WhisperDims(
+        n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+        n_text_head=4, n_text_layer=2)
+    # trip-everything thresholds, silence gate unreachable: every chunk
+    # ladders 0.2 -> 1.0
+    engine = WhisperEngine(init_params(dims, jax.random.PRNGKey(0)), dims,
+                           Tokenizer.synthetic(dims.n_vocab),
+                           config=EngineConfig(compute_dtype="float32",
+                                               best_of=1,
+                                               logprob_thold=1e9,
+                                               no_speech_thold=2.0))
+    mesh = make_mesh(8, tp=2)
+    engine.shard(mesh)
+    engine.enable_slot_serving(n_slots=3, t_mel=512, max_new=8)
+    try:
+        pool = engine._slot_server.pool
+        assert pool.mesh is mesh and "temp" in pool.state
+        rng = np.random.default_rng(3)
+        audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+        before = METRICS.snapshot()["counters"].get(
+            "asr_pool_fallback_retries_total", 0.0)
+        res = engine.transcribe_with_state(
+            engine.create_state(), audio,
+            AsrParams(language="en", stream_mode=True))
+        assert res is not None
+        after = METRICS.snapshot()["counters"].get(
+            "asr_pool_fallback_retries_total", 0.0)
+        assert after - before == 5, (before, after)
+    finally:
+        engine.disable_slot_serving()

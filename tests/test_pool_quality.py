@@ -269,3 +269,42 @@ def test_oversized_chunk_pieces_gate_independently(rng):
         assert _counter("asr_fallback_retries_total") == before
     finally:
         eng.disable_slot_serving()
+
+
+def test_stream_session_condition_toggle(rng):
+    """--no-condition / GrpcServer(condition=False): the session's params
+    disable previous-text conditioning, so pooled chunks on a
+    conditioning-capable (max_prompt=64) pool submit with context=None
+    (whisper.cpp no_context=true; the reference serves no_context=false)."""
+    from speaksense_tpu.serving.stream import StreamSession
+
+    eng = _engine(**NEVER)
+    eng.enable_slot_serving(n_slots=2, t_mel=512, max_new=8, max_prompt=64)
+    try:
+        server = eng._slot_server
+        contexts = []
+        real = server.submit_audio
+
+        def spy(audio, context=None, **kw):
+            contexts.append(context)
+            return real(audio, context=context, **kw)
+
+        server.submit_audio = spy
+        sess = StreamSession(eng, language="en", denoise=False,
+                             condition=False)
+        assert sess.params.condition_on_previous_text is False
+        pcm = (_audio(rng, seconds=5.0) * 32767).astype(np.int16)
+        import base64 as b64
+
+        for _ in range(2):          # second chunk would otherwise condition
+            sess.feed(b64.standard_b64encode(pcm.tobytes()))
+        assert len(contexts) >= 2 and all(c is None for c in contexts)
+        # default session on the same pool DOES thread context once text exists
+        contexts.clear()
+        sess2 = StreamSession(eng, language="en", denoise=False)
+        assert sess2.params.condition_on_previous_text is True
+        for _ in range(2):
+            sess2.feed(b64.standard_b64encode(pcm.tobytes()))
+        assert len(contexts) >= 2
+    finally:
+        eng.disable_slot_serving()
