@@ -954,6 +954,11 @@ def main():
         result["beam_serve_firehose_runs"] = beam_serve["firehose_runs"]
         result["beam_p50_chunk_latency_s"] = beam_serve["p50_chunk_latency_s"]
         result["beam_p95_chunk_latency_s"] = beam_serve["p95_chunk_latency_s"]
+        # 64-stream beam paced latency is saturation queueing by
+        # construction (2x slot time-sharing); the mid-load (32-stream =
+        # beam-slot-count) row is the sustainable-load latency claim
+        result["beam_p50_chunk_latency_mid_s"] = beam_serve.get("p50_chunk_latency_mid_s")
+        result["beam_p95_chunk_latency_mid_s"] = beam_serve.get("p95_chunk_latency_mid_s")
         result["beam_serve_occupancy"] = beam_serve.get("avg_occupancy")
         result["beam_serve_quality_counters"] = beam_serve.get("quality_counters")
         result["beam_serve_knobs"] = beam_serve.get("knobs")
