@@ -480,11 +480,15 @@ class WhisperEngine(AsrEngine):
             )
 
         def _settle(b: int, cand: dict, attempt: int) -> None:
-            """Accept the slot's candidate or schedule a hotter retry."""
+            """Accept the slot's candidate or schedule a hotter retry.
+            Escalation picks the first ladder rung STRICTLY above the row's
+            current temperature (not schedule[attempt+1]): a caller that
+            starts a row mid-ladder (temperatures=[0.4], e.g. the beam
+            pool's window-path retry) must not re-decode at the same temp."""
             last_attempt[b] = cand
             needs_retry = needs_fallback_retry(cand, self.config)
             if needs_retry and temps[b] < schedule[-1]:
-                temps[b] = schedule[min(attempt + 1, len(schedule) - 1)]
+                temps[b] = next(t for t in schedule if t > temps[b])
                 METRICS.inc("asr_fallback_retries_total")
                 return
             results[b] = cand
@@ -945,19 +949,41 @@ class WhisperEngine(AsrEngine):
 
         return retry
 
+    def _silence_suppressed(self, raw: dict) -> bool:
+        """The no-speech gate shared by EVERY stream path (whisper.rs:167;
+        openai seek-loop rule): no_speech_prob over threshold AND poor avg
+        logprob — whisper's classic silence-hallucination suppression.
+        Meters asr_no_speech_suppressed_total when it trips."""
+        if (float(raw.get("no_speech_prob", 0.0)) > self.config.no_speech_thold
+                and float(raw.get("avg_logprob", 0.0)) < self.config.logprob_thold):
+            METRICS.inc("asr_no_speech_suppressed_total")
+            return True
+        return False
+
+    def _update_stream_context(self, state: EngineState | None,
+                               text_toks: list[int], hot: bool) -> None:
+        """Conditioning-context bookkeeping for stream chunks. hot=True
+        (any window decoded at temperature > 0.5) RESETS the context — the
+        openai prompt_reset rule the seek loop applies at engine.py:628:
+        hot-retry text is likely degraded and must not condition the next
+        chunk (it would feed the hallucination loop conditioning exists to
+        dampen)."""
+        if state is None:
+            return
+        if hot:
+            state.context_tokens = []
+            return
+        server = getattr(self, "_slot_server", None)
+        cap = server.pool.max_prompt if server is not None else 16
+        state.context_tokens = (state.context_tokens + text_toks)[-cap:]
+
     def _finish_slot_chunk(self, raw: dict, n_samples: int, params: AsrParams,
                            language: str | None,
                            state: EngineState | None) -> TranscribeResult:
         """Host postprocess for one slot-pool stream chunk: token->segment
         conversion, window clamping, conditioning-context bookkeeping, and
         the reference segment pipeline (_postprocess)."""
-        # no-speech gate (whisper.rs:167; openai seek-loop rule): a chunk
-        # whose SOT-position no-speech probability clears the threshold AND
-        # whose avg logprob is poor emits nothing — whisper's classic
-        # silence-hallucination suppression, now on the pooled path too
-        if (float(raw.get("no_speech_prob", 0.0)) > self.config.no_speech_thold
-                and float(raw.get("avg_logprob", 0.0)) < self.config.logprob_thold):
-            METRICS.inc("asr_no_speech_suppressed_total")
+        if self._silence_suppressed(raw):
             return TranscribeResult(segments=[], full_text="",
                                     language=language,
                                     n_tokens=int(raw["n_sampled"]))
@@ -966,12 +992,10 @@ class WhisperEngine(AsrEngine):
         for s in segs:
             s["end"] = min(s["end"], window_dur)
             s["start"] = min(s["start"], s["end"])
-        if state is not None:
-            server = getattr(self, "_slot_server", None)
-            text_toks = [int(t) for t in raw["tokens"][: raw["n_sampled"]]
-                         if t < self.tokenizer.eot]
-            cap = server.pool.max_prompt if server is not None else 16
-            state.context_tokens = (state.context_tokens + text_toks)[-cap:]
+        text_toks = [int(t) for t in raw["tokens"][: raw["n_sampled"]]
+                     if t < self.tokenizer.eot]
+        self._update_stream_context(
+            state, text_toks, hot=float(raw.get("temperature", 0.0)) > 0.5)
         return self._postprocess(segs, params, language,
                                  n_tokens=int(raw["n_sampled"]))
 
@@ -988,11 +1012,10 @@ class WhisperEngine(AsrEngine):
         segs_all: list[dict] = []
         text_toks: list[int] = []
         n_tokens = 0
+        hot = any(float(r.get("temperature", 0.0)) > 0.5 for r in raws)
         for i, raw in enumerate(raws):
-            if (float(raw.get("no_speech_prob", 0.0)) > self.config.no_speech_thold
-                    and float(raw.get("avg_logprob", 0.0)) < self.config.logprob_thold):
+            if self._silence_suppressed(raw):
                 # silent sub-window: suppress its text (see _finish_slot_chunk)
-                METRICS.inc("asr_no_speech_suppressed_total")
                 n_tokens += int(raw["n_sampled"])
                 continue
             off = i * piece_samples / SAMPLE_RATE
@@ -1006,10 +1029,7 @@ class WhisperEngine(AsrEngine):
             n_tokens += int(raw["n_sampled"])
             text_toks.extend(int(t) for t in raw["tokens"][: raw["n_sampled"]]
                              if t < self.tokenizer.eot)
-        if state is not None:
-            server = getattr(self, "_slot_server", None)
-            cap = server.pool.max_prompt if server is not None else 16
-            state.context_tokens = (state.context_tokens + text_toks)[-cap:]
+        self._update_stream_context(state, text_toks, hot=hot)
         return self._postprocess(segs_all, params, language, n_tokens=n_tokens)
 
     def submit_stream_chunk(self, state: EngineState | None, audio,
@@ -1196,9 +1216,7 @@ class WhisperEngine(AsrEngine):
         # missing #2: the probability was computed and then ignored here —
         # only the batch seek loop consumed it; reference sets the threshold
         # for stream calls as well, whisper.rs:167)
-        if (float(res.get("no_speech_prob", 0.0)) > self.config.no_speech_thold
-                and float(res.get("avg_logprob", 0.0)) < self.config.logprob_thold):
-            METRICS.inc("asr_no_speech_suppressed_total")
+        if self._silence_suppressed(res):
             return TranscribeResult(segments=[], full_text="",
                                     language=language,
                                     n_tokens=int(res["n_sampled"]))

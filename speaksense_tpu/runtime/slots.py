@@ -492,6 +492,10 @@ class SlotPool:
             new["last_ts"] = jnp.where(still & is_ts, tok, state["last_ts"])
             new["sum_lp"] = state["sum_lp"] + jnp.where(state["active"], tok_lp, 0.0)
             new["active"] = state["active"] & ~newly_done & ~hit_cap
+            # clear retired rows' temps: otherwise one t>0 retry would leave
+            # jnp.any(temp > 0) true forever and EVERY later step would pay
+            # the (S+1, V) sampling branch the lax.cond exists to skip
+            new["temp"] = jnp.where(new["active"], state["temp"], 0.0)
             new["key"] = key
             finished_now = newly_done | hit_cap
             return new, finished_now

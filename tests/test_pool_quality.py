@@ -308,3 +308,34 @@ def test_stream_session_condition_toggle(rng):
         assert len(contexts) >= 2
     finally:
         eng.disable_slot_serving()
+
+
+def test_hot_retry_resets_conditioning_context(rng):
+    """openai prompt_reset rule on the POOLED path (seek-loop parity,
+    engine.py:628): a chunk that exhausts the ladder at t > 0.5 must RESET
+    the stream's conditioning context, not append its (likely degraded)
+    sampled text — the feedback loop conditioning would otherwise amplify."""
+    audio = _audio(rng)
+
+    # trip-nothing: context accumulates
+    eng = _engine(**NEVER)
+    eng.enable_slot_serving(n_slots=2, t_mel=512, max_new=8, max_prompt=64)
+    try:
+        state = eng.create_state()
+        eng.transcribe_with_state(state, audio,
+                                  AsrParams(language="en", stream_mode=True))
+        assert state.context_tokens          # greedy text conditions chunk 2
+    finally:
+        eng.disable_slot_serving()
+
+    # trip-everything: the ladder ends hot (t=1.0) -> context reset
+    eng2 = _engine(best_of=1, **ALWAYS)
+    eng2.enable_slot_serving(n_slots=2, t_mel=512, max_new=8, max_prompt=64)
+    try:
+        state = eng2.create_state()
+        state.context_tokens = [100, 101]    # pre-existing context survives?
+        eng2.transcribe_with_state(state, audio,
+                                   AsrParams(language="en", stream_mode=True))
+        assert state.context_tokens == []    # no: hot retry resets it
+    finally:
+        eng2.disable_slot_serving()
