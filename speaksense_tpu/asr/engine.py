@@ -902,8 +902,17 @@ class WhisperEngine(AsrEngine):
             t = FALLBACK_TEMPS[attempt]
             METRICS.inc("asr_fallback_retries_total")
             METRICS.inc("asr_pool_fallback_retries_total")
-            cands = [c if "compression_ratio" in c else self._pool_candidate(c)
-                     for c in retry(t)]
+            try:
+                cands = [c if "compression_ratio" in c
+                         else self._pool_candidate(c) for c in retry(t)]
+            except Exception as e:
+                # a failed RESUBMISSION (pool reset failing registered jobs,
+                # server stopping mid-retry) must not abort a chunk that
+                # already holds a decoded candidate — keep-last-attempt,
+                # exactly as the window ladder would
+                log.warning("pool fallback retry at t=%.1f failed; keeping "
+                            "last attempt: %s", t, e)
+                break
             if not cands:
                 break
             cand = max(cands, key=lambda c: c["avg_logprob"])

@@ -850,10 +850,23 @@ class StreamingDecodeServer:
         """context: previous-text conditioning tokens (see _build_prompt).
         temperature > 0: quality-fallback retry submission (per-slot Gumbel
         sampling in the pool step)."""
+        self._check_temperature(temperature)
         prompt, sot_index = self._build_prompt(language, task, context)
         job = _StreamJob(np.asarray(mel), prompt, sot_index=sot_index,
                          temperature=float(temperature))
         return self._put(job)
+
+    def _check_temperature(self, temperature: float) -> None:
+        """Beam pools decode at t=0 only (their admit drops the temps
+        vector): reject t>0 submissions loudly instead of returning a
+        greedy decode falsely labeled hot — which would skip ladder rungs
+        and wrongly trip the prompt_reset rule downstream. Beam fallback
+        retries route through the window path (engine._pool_retry_factory),
+        matching whisper.cpp's beam -> greedy-sampling ladder."""
+        if temperature > 0.0 and getattr(self.pool, "K", 1) > 1:
+            raise ValueError(
+                "beam pools are t=0 only; route t>0 retries through the "
+                "window path (see engine._pool_retry_factory)")
 
     def submit_audio(self, audio: np.ndarray, language: str | None = "en",
                      task: str = "transcribe",
@@ -865,6 +878,7 @@ class StreamingDecodeServer:
         denoise chain — runs inside the admission program, so the audio
         uploads once and nothing round-trips device<->host.
         Audio is padded/truncated to the pool's t_mel bucket."""
+        self._check_temperature(temperature)
         from speaksense_tpu.audio import mel as MEL
 
         n = self.pool.t_mel * MEL.HOP_LENGTH
@@ -1049,6 +1063,12 @@ class StreamingDecodeServer:
         # with no timeout, so an unresolved job would hang its gRPC
         # executor thread forever (round-2 review)
         err = RuntimeError("slot server stopped")
+        # mark dead BEFORE the one-shot drain so a submit racing stop()
+        # (e.g. a quality-gate retry fired from a settler thread) fails
+        # fast via _put's dead checks instead of landing on the queue
+        # after the drain with no loop thread left to serve it
+        if self._dead is None:
+            self._dead = err
         leftovers = list(self.pool.jobs.values())
         self.pool.jobs.clear()
         while True:

@@ -339,3 +339,59 @@ def test_hot_retry_resets_conditioning_context(rng):
         assert state.context_tokens == []    # no: hot retry resets it
     finally:
         eng2.disable_slot_serving()
+
+
+def test_submit_after_stop_fails_fast(rng):
+    """stop() marks the server dead: a submission racing shutdown (e.g. a
+    quality-gate retry fired from a settler thread) raises immediately
+    instead of stranding its future on a queue no loop thread will drain."""
+    eng = _engine(**NEVER)
+    server = StreamingDecodeServer(eng, n_slots=2, t_mel=512, max_new=8)
+    mel = np.asarray(eng.compute_mel(_audio(rng), pad_to=512))[0]
+    server.submit(mel).result(timeout=300)
+    server.stop()
+    with pytest.raises(RuntimeError):
+        server.submit(mel)
+
+
+def test_retry_failure_keeps_last_attempt(rng):
+    """Keep-last-attempt under retry errors: if a fallback RESUBMISSION
+    fails (server stopping, pool reset), the chunk's already-decoded
+    candidate is returned instead of erroring the stream."""
+    eng = _engine(best_of=1, **ALWAYS)
+    eng.enable_slot_serving(n_slots=2, t_mel=512, max_new=8)
+    try:
+        server = eng._slot_server
+        real = server.submit_audio
+
+        def failing(audio, temperature=0.0, **kw):
+            if temperature > 0:
+                raise RuntimeError("synthetic retry failure")
+            return real(audio, temperature=temperature, **kw)
+
+        server.submit_audio = failing
+        res = eng.transcribe_with_state(
+            eng.create_state(), _audio(rng),
+            AsrParams(language="en", stream_mode=True))
+        assert res is not None and res.n_tokens >= 0
+    finally:
+        eng.disable_slot_serving()
+
+
+def test_beam_pool_rejects_hot_submissions(rng):
+    """Beam pools are t=0 only (admit drops temps): a t>0 submission must
+    raise, not return a greedy decode falsely labeled hot (which would skip
+    ladder rungs and wrongly reset conditioning context downstream)."""
+    eng = _engine(beam_size=2, **NEVER)
+    eng.enable_slot_serving(n_slots=2, t_mel=512, max_new=8, beam_size=2)
+    try:
+        server = eng._slot_server
+        mel = np.asarray(eng.compute_mel(_audio(rng), pad_to=512))[0]
+        with pytest.raises(ValueError):
+            server.submit(mel, temperature=0.5)
+        with pytest.raises(ValueError):
+            server.submit_audio(_audio(rng), temperature=0.5)
+        # t=0 still serves
+        assert server.submit(mel).result(timeout=300)["n_sampled"] >= 0
+    finally:
+        eng.disable_slot_serving()
