@@ -63,14 +63,24 @@ def bench_slots(model_name: str, decode_tokens: int):
     server = StreamingDecodeServer(engine, n_slots=slots, t_mel=t_mel,
                                    max_new=max_new, int8_kv=True)
     rng = np.random.default_rng(0)
-    mel = rng.standard_normal((t_mel, dims.n_mels)).astype(np.float32)
     chunk_seconds = t_mel * 160 / 16000.0  # HOP_LENGTH * frames / rate
+    # PRODUCTION ingestion shape (same as the gRPC path): raw s16 PCM up
+    # the relay (half the bytes of f32 mel), log-mel fused into the
+    # admission program. BENCH_SLOTS_MEL=1 restores the legacy host-mel
+    # submit() to expose the relay-transfer cost of the f32 mel path.
+    use_mel = os.environ.get("BENCH_SLOTS_MEL", "0") not in ("", "0", "false")
+    if use_mel:
+        payload = rng.standard_normal((t_mel, dims.n_mels)).astype(np.float32)
+        sub = server.submit
+    else:
+        payload = (rng.standard_normal(int(t_mel * 160)) * 1500).astype(np.int16)
+        sub = server.submit_audio
 
     try:
         # warm both programs (admit + step) before timing
-        server.submit(mel).result(timeout=3600)
+        sub(payload).result(timeout=3600)
         t0 = time.perf_counter()
-        futs = [server.submit(mel) for _ in range(n_windows)]
+        futs = [sub(payload) for _ in range(n_windows)]
         for f in futs:
             f.result(timeout=3600)
         dt = time.perf_counter() - t0
