@@ -312,10 +312,16 @@ def test_grpc_invalid_key_rejected(tmp_path):
     auth, _, ks = _make_auth(tmp_path)
     requests = [asr_pb2.TranscribeRequest(type=asr_pb2.PCM, end=1,
                                           audio=_pcm_b64(1.0))]
-    with pytest.raises(grpc.aio.AioRpcError) as ei:
-        asyncio.run(_run_stream_authed(
-            requests, auth=auth,
-            metadata=(("authorization", "Bearer key-nope"),)))
+    # one retry on transport-level UNAVAILABLE: under heavy host load the
+    # fresh loopback server occasionally refuses the first connect, which
+    # is not the auth outcome this test pins
+    for attempt in range(2):
+        with pytest.raises(grpc.aio.AioRpcError) as ei:
+            asyncio.run(_run_stream_authed(
+                requests, auth=auth,
+                metadata=(("authorization", "Bearer key-nope"),)))
+        if (ei.value.code() != grpc.StatusCode.UNAVAILABLE) or attempt:
+            break
     assert ei.value.code() == grpc.StatusCode.UNAUTHENTICATED
     ks.close()
 
